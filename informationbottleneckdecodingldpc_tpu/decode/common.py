@@ -1,0 +1,145 @@
+"""Shared decoder plumbing: iteration driver, group application, syndrome.
+
+Reproduces the reference device-loop semantics exactly (SURVEY.md §3.2 and
+§7.4): the message-passing loop runs while ``i_num < imax`` *and* the whole
+batch has not converged (batch-global syndrome test,
+discrete_LDPC_decoder.py:233-276) — i.e. at most ``imax - 1`` in-loop
+iterations. Early exit is a ``lax.while_loop`` on a reduced scalar; under
+sharding the reduction closes over a ``psum`` so all shards stay in lockstep,
+mirroring the reference's single in-order queue.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from .graph_arrays import DecodeLayout
+
+
+@dataclasses.dataclass
+class DecodeResult:
+    """Decoder output.
+
+    ``outputs``: [n_vars, batch] posterior quantity (cluster index for the IB
+    LUT decoder, LLR for BP/min-sum) in natural variable order.
+    ``iterations``: scalar count of executed in-loop iterations.
+    ``unsatisfied``: [batch] unsatisfied-check count at exit.
+    """
+
+    outputs: jnp.ndarray
+    iterations: jnp.ndarray
+    unsatisfied: jnp.ndarray
+
+
+def apply_per_cn_group(
+    layout: DecodeLayout, edge_array: jnp.ndarray, fn: Callable
+) -> jnp.ndarray:
+    """Apply fn(msgs[n, d, batch], group) -> [n, d, batch] over each
+    check-node degree group (static slices of the decode layout)."""
+    batch = edge_array.shape[-1]
+    outs = []
+    for grp in layout.cn_groups:
+        size = grp.num_nodes * grp.degree
+        msgs = edge_array[grp.offset : grp.offset + size].reshape(
+            grp.num_nodes, grp.degree, batch
+        )
+        outs.append(fn(msgs, grp).reshape(size, batch))
+    return jnp.concatenate(outs, axis=0)
+
+
+def apply_per_vn_group(
+    layout: DecodeLayout,
+    edge_array: jnp.ndarray,
+    node_values: jnp.ndarray,
+    fn: Callable,
+) -> jnp.ndarray:
+    """Apply fn(ch[n, batch], msgs[n, d, batch], group) -> [n, d, batch] over
+    each variable-node degree group; ``node_values`` is indexed by node id."""
+    batch = edge_array.shape[-1]
+    outs = []
+    for grp in layout.vn_groups:
+        size = grp.num_nodes * grp.degree
+        msgs = edge_array[grp.offset : grp.offset + size].reshape(
+            grp.num_nodes, grp.degree, batch
+        )
+        ch = jnp.take(node_values, grp.node_ids, axis=0)
+        outs.append(fn(ch, msgs, grp).reshape(size, batch))
+    return jnp.concatenate(outs, axis=0)
+
+
+def node_outputs_to_natural_order(
+    layout: DecodeLayout, per_group_outputs: list[jnp.ndarray]
+) -> jnp.ndarray:
+    """Concatenate per-VN-group node results and restore variable order."""
+    concat = jnp.concatenate(per_group_outputs, axis=0)
+    return jnp.take(concat, layout.vn_node_unperm, axis=0)
+
+
+def unsatisfied_checks(layout: DecodeLayout, cn_view_bits: jnp.ndarray) -> jnp.ndarray:
+    """Per-codeword count of unsatisfied checks from hard bits in CN view.
+
+    Matches the reference's parity test over the check-node inbox (VN->CN
+    messages), kernels_template.cl:292-314: syndrome of check c = XOR of its
+    incoming messages' hard decisions.
+    """
+    batch = cn_view_bits.shape[-1]
+    total = jnp.zeros((batch,), dtype=jnp.int32)
+    for grp in layout.cn_groups:
+        size = grp.num_nodes * grp.degree
+        bits = cn_view_bits[grp.offset : grp.offset + size].reshape(
+            grp.num_nodes, grp.degree, batch
+        )
+        syndrome = jnp.sum(bits.astype(jnp.int32), axis=1) % 2
+        total = total + jnp.sum(syndrome, axis=0, dtype=jnp.int32)
+    return total
+
+
+def run_message_passing_loop(
+    init_state: Any,
+    body: Callable[[Any, jnp.ndarray], tuple[Any, jnp.ndarray]],
+    max_inner_iters: int,
+    batch: int,
+    early_exit: bool = True,
+    convergence_reduce: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
+):
+    """Run the message-passing loop over an arbitrary state pytree.
+
+    ``body(state, i)`` returns ``(new_state, unsatisfied_per_codeword)``.
+    ``convergence_reduce`` maps per-codeword unsatisfied counts to a scalar
+    (default local sum; the sharded sim engine passes a psum'd version).
+    Returns (final_state, iterations_run, last_unsatisfied).
+    """
+    reduce = convergence_reduce or (lambda u: jnp.sum(u))
+    unsat0 = jnp.full((batch,), jnp.iinfo(jnp.int32).max // 2, dtype=jnp.int32)
+
+    if max_inner_iters <= 0:
+        return init_state, jnp.asarray(0, jnp.int32), unsat0
+
+    if not early_exit:
+        def scan_body(carry, i):
+            state, _ = carry
+            state, unsat = body(state, i)
+            return (state, unsat), None
+
+        (state, unsat), _ = jax.lax.scan(
+            scan_body, (init_state, unsat0), jnp.arange(max_inner_iters)
+        )
+        return state, jnp.asarray(max_inner_iters, jnp.int32), unsat
+
+    def cond(carry):
+        _, i, unsat = carry
+        return jnp.logical_and(i < max_inner_iters, reduce(unsat) > 0)
+
+    def step(carry):
+        state, i, _ = carry
+        state, unsat = body(state, i)
+        return state, i + 1, unsat
+
+    state, iters, unsat = jax.lax.while_loop(
+        cond, step, (init_state, jnp.asarray(0, jnp.int32), unsat0)
+    )
+    return state, iters, unsat
