@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from .graph_arrays import DecodeLayout
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class DecodeResult:
     """Decoder output.
@@ -114,7 +115,10 @@ def run_message_passing_loop(
     Returns (final_state, iterations_run, last_unsatisfied).
     """
     reduce = convergence_reduce or (lambda u: jnp.sum(u))
-    unsat0 = jnp.full((batch,), jnp.iinfo(jnp.int32).max // 2, dtype=jnp.int32)
+    # Sentinel "not converged yet" state; convergence is tested on the count
+    # of unconverged codewords (bounded by the global batch), not the raw
+    # unsatisfied-check sum, so the reduction cannot overflow int32.
+    unsat0 = jnp.ones((batch,), dtype=jnp.int32)
 
     if max_inner_iters <= 0:
         return init_state, jnp.asarray(0, jnp.int32), unsat0
@@ -132,7 +136,8 @@ def run_message_passing_loop(
 
     def cond(carry):
         _, i, unsat = carry
-        return jnp.logical_and(i < max_inner_iters, reduce(unsat) > 0)
+        unconverged = (unsat > 0).astype(jnp.int32)
+        return jnp.logical_and(i < max_inner_iters, reduce(unconverged) > 0)
 
     def step(carry):
         state, i, _ = carry

@@ -6,7 +6,10 @@ the real-TPU path is exercised by bench.py / __graft_entry__.py.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even if the environment points at a real accelerator (the session
+# may export JAX_PLATFORMS=axon); tests must be hermetic and exercise the
+# virtual multi-device mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
