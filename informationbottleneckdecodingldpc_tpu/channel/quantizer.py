@@ -8,6 +8,10 @@ cluster sampling via the inversion method, and LLR emission — are pure jnp
 functions over those tables, with `jax.random` device PRNG replacing the
 reference's host ``np.random`` (AWGN_Quantizer_BPSK.py:210,234).
 
+The pure functions (`quantize_with`, `sample_clusters_with`, ...) take the
+tables as runtime arguments, so one compilation of a simulation step serves
+every SNR point of a sweep; the class below binds tables for convenience.
+
 Conventions preserved exactly (they are contracts with the decoders):
 - bit 0 maps to +1 (quantizer built on p(y|x=0) = N(+1, sigma^2));
 - cluster labels ascend with y (and with LLR); ``limits[T/2]`` forced to 0
@@ -20,6 +24,7 @@ Conventions preserved exactly (they are contracts with the decoders):
 from __future__ import annotations
 
 import dataclasses
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -43,6 +48,15 @@ class QuantizerTables:
     p_x_and_t: np.ndarray  # [T, 2] joint pmf (DE input)
     mi_xt: float
     mi_xy: float
+
+
+class DeviceQuantizerTables(NamedTuple):
+    """Runtime-argument form for jitted simulation steps (one compile per
+    sweep; tables swap per SNR point)."""
+
+    limits: jnp.ndarray  # [T] float32
+    cdf: jnp.ndarray  # [T+1] float32
+    llrs: jnp.ndarray  # [T] float32
 
 
 def build_quantizer_tables(
@@ -96,8 +110,52 @@ def build_quantizer_tables(
     )
 
 
+def device_tables(tables: QuantizerTables) -> DeviceQuantizerTables:
+    return DeviceQuantizerTables(
+        limits=jnp.asarray(tables.limits, dtype=jnp.float32),
+        cdf=jnp.asarray(tables.cdf_t_given_x0, dtype=jnp.float32),
+        llrs=jnp.asarray(tables.output_llrs, dtype=jnp.float32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pure device ops (tables as runtime arguments).
+# ---------------------------------------------------------------------------
+
+def quantize_with(limits: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """cluster = #{w in 1..T-1 : y > limits[w]} (kernel semantics,
+    kernels_quanti_template.cl:17-23)."""
+    return jnp.sum(y[..., None] > limits[1:], axis=-1, dtype=jnp.int32)
+
+
+def quantize_llr_with(
+    limits: jnp.ndarray, llrs: jnp.ndarray, y: jnp.ndarray
+) -> jnp.ndarray:
+    """LLR of the quantized cluster (kernels_quanti_template.cl:29-49)."""
+    return llrs[quantize_with(limits, y)]
+
+
+def sample_clusters_with(
+    cdf: jnp.ndarray, key: jax.Array, bits: jnp.ndarray
+) -> jnp.ndarray:
+    """Draw t ~ p(t | x=bit) by inversion, mirroring for bit 1
+    (quantize_direct, AWGN_Quantizer_BPSK.py:126-143)."""
+    cardinality_t = cdf.shape[0] - 1
+    u = jax.random.uniform(key, bits.shape, dtype=jnp.float32)
+    t = jnp.sum(u[..., None] > cdf[1:-1], axis=-1, dtype=jnp.int32)
+    return jnp.where(bits.astype(bool), cardinality_t - 1 - t, t)
+
+
+def sample_llrs_with(
+    cdf: jnp.ndarray, llrs: jnp.ndarray, key: jax.Array, bits: jnp.ndarray
+) -> jnp.ndarray:
+    """LLR of directly sampled clusters (quantize_direct_OpenCL_LLR,
+    AWGN_Quantizer_BPSK.py:230-248)."""
+    return llrs[sample_clusters_with(cdf, key, bits)]
+
+
 class AWGNChannelQuantizer:
-    """Quantizer with jit-friendly device ops bound to precomputed tables."""
+    """Quantizer with device ops bound to precomputed tables."""
 
     def __init__(
         self,
@@ -110,37 +168,16 @@ class AWGNChannelQuantizer:
             sigma2, ad_max_abs, cardinality_t, cardinality_y
         )
         self.cardinality_t = self.tables.cardinality_t
-        self._limits = jnp.asarray(self.tables.limits, dtype=jnp.float32)
-        self._cdf = jnp.asarray(self.tables.cdf_t_given_x0, dtype=jnp.float32)
-        self._llrs = jnp.asarray(self.tables.output_llrs, dtype=jnp.float32)
+        self.device = device_tables(self.tables)
 
-    # -- threshold quantization of real channel outputs ---------------------
     def quantize(self, y: jnp.ndarray) -> jnp.ndarray:
-        """cluster = #{w in 1..T-1 : y > limits[w]} (kernel semantics,
-        kernels_quanti_template.cl:17-23)."""
-        return jnp.sum(
-            y[..., None] > self._limits[1:], axis=-1, dtype=jnp.int32
-        )
+        return quantize_with(self.device.limits, y)
 
     def quantize_llr(self, y: jnp.ndarray) -> jnp.ndarray:
-        """LLR of the quantized cluster (kernels_quanti_template.cl:29-49)."""
-        return self._llrs[self.quantize(y)]
+        return quantize_llr_with(self.device.limits, self.device.llrs, y)
 
-    # -- direct cluster sampling (all-zeros fast path) ----------------------
     def sample_clusters(self, key: jax.Array, bits: jnp.ndarray) -> jnp.ndarray:
-        """Draw t ~ p(t | x=bit) by inversion, mirroring for bit 1.
-
-        ``bits`` may be any int/bool array; output has the same shape.
-        Equivalent to quantize_direct / quantize_direct_OpenCL
-        (AWGN_Quantizer_BPSK.py:126-143, 201-228).
-        """
-        u = jax.random.uniform(key, bits.shape, dtype=jnp.float32)
-        t = jnp.sum(u[..., None] > self._cdf[1:-1], axis=-1, dtype=jnp.int32)
-        return jnp.where(
-            bits.astype(bool), self.cardinality_t - 1 - t, t
-        )
+        return sample_clusters_with(self.device.cdf, key, bits)
 
     def sample_llrs(self, key: jax.Array, bits: jnp.ndarray) -> jnp.ndarray:
-        """LLR of directly sampled clusters (quantize_direct_OpenCL_LLR,
-        AWGN_Quantizer_BPSK.py:230-248)."""
-        return self._llrs[self.sample_clusters(key, bits)]
+        return sample_llrs_with(self.device.cdf, self.device.llrs, key, bits)

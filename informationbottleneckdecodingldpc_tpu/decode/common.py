@@ -118,7 +118,14 @@ def run_message_passing_loop(
     # Sentinel "not converged yet" state; convergence is tested on the count
     # of unconverged codewords (bounded by the global batch), not the raw
     # unsatisfied-check sum, so the reduction cannot overflow int32.
-    unsat0 = jnp.ones((batch,), dtype=jnp.int32)
+    # Derive it from the loop state so that, under shard_map, its
+    # varying-axes type matches the body's per-shard output (while_loop
+    # requires carry-in/carry-out type equality).
+    leaves = jax.tree_util.tree_leaves(init_state)
+    taint = (
+        (leaves[0].reshape(-1)[0] * 0).astype(jnp.int32) if leaves else jnp.int32(0)
+    )
+    unsat0 = jnp.ones((batch,), dtype=jnp.int32) + taint
 
     if max_inner_iters <= 0:
         return init_state, jnp.asarray(0, jnp.int32), unsat0

@@ -1,0 +1,45 @@
+"""Mesh/sharding helpers for the Monte-Carlo engine.
+
+The reference is single-device (one PyOpenCL queue, SURVEY.md §2.3); the
+TPU-native scale-out axis is data parallelism over codewords and Monte-Carlo
+blocks: one ``jax.sharding.Mesh`` over all chips, the codeword batch sharded
+on axis ``'data'``, error/frame counters and the batch-global early-exit
+syndrome test reduced with ``psum`` so every shard stays in lockstep exactly
+like the reference's single in-order queue. On multi-host systems call
+``jax.distributed.initialize()`` first; ``make_mesh`` then spans all
+processes' devices.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec
+
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D data-parallel mesh over the first ``n_devices`` devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    import numpy as np
+
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def data_parallel_spec() -> PartitionSpec:
+    return PartitionSpec(DATA_AXIS)
+
+
+def psum_convergence_reduce(axis_name: str = DATA_AXIS):
+    """Convergence reduction for decoders running under shard_map: global
+    unconverged-codeword count across all shards (lockstep early exit)."""
+
+    def reduce(u: jnp.ndarray) -> jnp.ndarray:
+        return jax.lax.psum(jnp.sum(u.astype(jnp.int32)), axis_name)
+
+    return reduce
