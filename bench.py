@@ -1,0 +1,93 @@
+"""Headline benchmark: decoded throughput of the flagship IB LUT decoder.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Scenario (BASELINE.md north star: "decoded Mbit/s per chip at i_max=50"):
+WLAN 802.11n N=1296 R=1/2 irregular IB decoder with message alignment,
+|T|=16, i_max=50, all-zeros direct-sampling chain at the design Eb/N0
+(0.8 dB — low enough that decoding runs essentially all 49 in-loop
+iterations, so the number is a worst-case per-iteration throughput, matching
+the reference's low-SNR sweep points).
+
+``vs_baseline``: the reference repo publishes no numbers
+(BASELINE.json.published is empty); we normalize against a nominal
+10 Mbit/s coded — the order of magnitude a 2016-era GPU achieves on the
+reference's OpenCL kernels at these settings.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+
+BASELINE_CODED_BPS = 10e6
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from informationbottleneckdecodingldpc_tpu.codes import TannerGraph
+    from informationbottleneckdecodingldpc_tpu.decode import (
+        DecodeLayout,
+        DeviceTrellis,
+        make_ib_lut_decoder,
+    )
+    from informationbottleneckdecodingldpc_tpu.channel import (
+        AWGNChannelQuantizer,
+        sigma2_from_ebn0_db,
+    )
+    from informationbottleneckdecodingldpc_tpu.models import get_model
+    from informationbottleneckdecodingldpc_tpu.models.artifacts import (
+        get_or_build_config,
+    )
+
+    spec = get_model("wlan-1296")
+    ebn0 = 0.8
+    cfg = get_or_build_config(spec, ebn0=ebn0, i_max=50)
+    H = spec.make_h()
+    layout = DecodeLayout.from_graph(TannerGraph.from_check_matrix(H))
+    trellis = DeviceTrellis.from_tables(cfg.tables)
+    batch = int(os.environ.get("BENCH_BATCH", "1024"))
+
+    q = AWGNChannelQuantizer(
+        float(sigma2_from_ebn0_db(ebn0, 0.5)), 3.0, 16, 2000
+    )
+    decode = make_ib_lut_decoder(layout, trellis, early_exit=True)
+    key = jax.random.PRNGKey(0)
+    clusters = q.sample_clusters(key, jnp.zeros((layout.n_vars, batch), jnp.int32))
+    res = decode(clusters)
+    res.outputs.block_until_ready()  # compile
+
+    n_rep = int(os.environ.get("BENCH_REPS", "5"))
+    t0 = time.time()
+    decoded_bits = 0
+    for i in range(n_rep):
+        clusters = q.sample_clusters(jax.random.fold_in(key, i), jnp.zeros((layout.n_vars, batch), jnp.int32))
+        res = decode(clusters)
+        res.outputs.block_until_ready()
+        decoded_bits += layout.n_vars * batch
+    elapsed = time.time() - t0
+    coded_bps = decoded_bits / elapsed
+
+    print(
+        json.dumps(
+            {
+                "metric": "wlan_ib_lut_decode_coded_throughput",
+                "value": round(coded_bps / 1e6, 4),
+                "unit": "Mbit/s/chip",
+                "vs_baseline": round(coded_bps / BASELINE_CODED_BPS, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

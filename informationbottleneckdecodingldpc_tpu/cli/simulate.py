@@ -1,0 +1,94 @@
+"""Run a BER simulation sweep.
+
+Equivalent of the reference's ``BER_simulation_OpenCL*.py`` scripts, unified:
+decoder choice (ib | minsum | bp), chain (allzero | encoded), resumable
+results, optional .npz/.mat export.
+
+Usage:
+  python -m informationbottleneckdecodingldpc_tpu.cli.simulate \
+      --model wlan-1296 --decoder ib --config wlan_0.8.npz \
+      --results wlan_ib.json --max-db 2.0
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ..codes import TannerGraph
+from ..construct import DecoderConfig
+from ..decode import DecodeLayout, DeviceTrellis
+from ..encode import LDPCEncoder
+from ..models import get_model
+from ..sim import BERSimulator, SweepController, SweepSchedule
+from ..sim.results import export_mat, export_npz
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", required=True)
+    p.add_argument("--decoder", choices=["ib", "minsum", "bp"], default="ib")
+    p.add_argument("--config", default=None, help="decoder config .npz (ib)")
+    p.add_argument("--chain", choices=["allzero", "encoded"], default="allzero")
+    p.add_argument("--llr-source", choices=["quantized", "true"], default="quantized")
+    p.add_argument("--start-db", type=float, default=0.0)
+    p.add_argument("--max-db", type=float, default=None)
+    p.add_argument("--step-db", type=float, default=0.1)
+    p.add_argument("--target-ber", type=float, default=1e-6)
+    p.add_argument("--min-errors", type=int, default=None)
+    p.add_argument("--max-iters", type=int, default=None)
+    p.add_argument("--batch-per-device", type=int, default=None)
+    p.add_argument("--n-devices", type=int, default=None,
+                   help="default: all visible devices")
+    p.add_argument("--no-early-exit", action="store_true")
+    p.add_argument("--results", required=True, help="JSON results (resume point)")
+    p.add_argument("--export-npz", default=None)
+    p.add_argument("--export-mat", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    spec = get_model(args.model)
+    H = spec.make_h()
+    layout = DecodeLayout.from_graph(TannerGraph.from_check_matrix(H))
+
+    trellis = None
+    cardinality_t_channel = spec.cardinality_t_channel
+    if args.decoder == "ib":
+        if not args.config:
+            p.error("--config is required for the ib decoder")
+        cfg = DecoderConfig.load(args.config)
+        trellis = DeviceTrellis.from_tables(cfg.tables)
+        cardinality_t_channel = cfg.tables.cardinality_t_channel
+
+    encoder = LDPCEncoder(H) if args.chain == "encoded" else None
+
+    sim = BERSimulator(
+        layout,
+        args.decoder,
+        trellis=trellis,
+        max_iters=args.max_iters or spec.decode_i_max,
+        chain=args.chain,
+        llr_source=args.llr_source,
+        count_all_bits=spec.count_all_bits and args.chain == "allzero",
+        cardinality_t_channel=cardinality_t_channel,
+        batch_per_device=args.batch_per_device or spec.batch_hint,
+        n_devices=args.n_devices,
+        early_exit=not args.no_early_exit,
+        encoder=encoder,
+        seed=args.seed,
+    )
+    sched = SweepSchedule(
+        start_db=args.start_db,
+        normal_step_db=args.step_db,
+        max_db=args.max_db if args.max_db is not None else spec.sweep_max_db,
+        target_ber=args.target_ber,
+        min_errors=args.min_errors or spec.min_errors,
+    )
+    results = SweepController(sim, sched, results_path=args.results).run()
+    if args.export_npz:
+        export_npz(args.export_npz, results)
+    if args.export_mat:
+        export_mat(args.export_mat, results, decoder_name=args.model)
+
+
+if __name__ == "__main__":
+    main()

@@ -39,14 +39,14 @@ class DecodeResult:
 def apply_per_cn_group(
     layout: DecodeLayout, edge_array: jnp.ndarray, fn: Callable
 ) -> jnp.ndarray:
-    """Apply fn(msgs[n, d, batch], group) -> [n, d, batch] over each
-    check-node degree group (static slices of the decode layout)."""
+    """Apply fn(msgs[d, n, batch], group) -> [d, n, batch] over each
+    check-node degree group (static slices of the slot-major decode layout)."""
     batch = edge_array.shape[-1]
     outs = []
     for grp in layout.cn_groups:
         size = grp.num_nodes * grp.degree
         msgs = edge_array[grp.offset : grp.offset + size].reshape(
-            grp.num_nodes, grp.degree, batch
+            grp.degree, grp.num_nodes, batch
         )
         outs.append(fn(msgs, grp).reshape(size, batch))
     return jnp.concatenate(outs, axis=0)
@@ -58,14 +58,14 @@ def apply_per_vn_group(
     node_values: jnp.ndarray,
     fn: Callable,
 ) -> jnp.ndarray:
-    """Apply fn(ch[n, batch], msgs[n, d, batch], group) -> [n, d, batch] over
+    """Apply fn(ch[n, batch], msgs[d, n, batch], group) -> [d, n, batch] over
     each variable-node degree group; ``node_values`` is indexed by node id."""
     batch = edge_array.shape[-1]
     outs = []
     for grp in layout.vn_groups:
         size = grp.num_nodes * grp.degree
         msgs = edge_array[grp.offset : grp.offset + size].reshape(
-            grp.num_nodes, grp.degree, batch
+            grp.degree, grp.num_nodes, batch
         )
         ch = jnp.take(node_values, grp.node_ids, axis=0)
         outs.append(fn(ch, msgs, grp).reshape(size, batch))
@@ -92,9 +92,9 @@ def unsatisfied_checks(layout: DecodeLayout, cn_view_bits: jnp.ndarray) -> jnp.n
     for grp in layout.cn_groups:
         size = grp.num_nodes * grp.degree
         bits = cn_view_bits[grp.offset : grp.offset + size].reshape(
-            grp.num_nodes, grp.degree, batch
+            grp.degree, grp.num_nodes, batch
         )
-        syndrome = jnp.sum(bits.astype(jnp.int32), axis=1) % 2
+        syndrome = jnp.sum(bits.astype(jnp.int32), axis=0) % 2
         total = total + jnp.sum(syndrome, axis=0, dtype=jnp.int32)
     return total
 

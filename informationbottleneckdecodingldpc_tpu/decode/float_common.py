@@ -41,11 +41,11 @@ def float_decode(
     def body(state, _i):
         cn_view, _ = state
         cn_out = apply_per_cn_group(layout, cn_view, cn_update)
-        vn_view = jnp.take(cn_out, layout.cn_pos_of_vn_edge, axis=0)
+        vn_view = layout.to_vn.apply(cn_out)
         vn_out = apply_per_vn_group(
             layout, vn_view, llrs, lambda ch, msgs, grp: vn_sum_leave_one_out(ch, msgs)
         )
-        new_cn_view = jnp.take(vn_out, layout.vn_pos_of_cn_edge, axis=0)
+        new_cn_view = layout.to_cn.apply(vn_out)
         unsat = unsatisfied_checks(layout, new_cn_view < 0)
         return (new_cn_view, vn_view), unsat
 
@@ -64,10 +64,10 @@ def float_decode(
     for grp in layout.vn_groups:
         size = grp.num_nodes * grp.degree
         msgs = vn_view[grp.offset : grp.offset + size].reshape(
-            grp.num_nodes, grp.degree, batch
+            grp.degree, grp.num_nodes, batch
         )
         ch = jnp.take(llrs, grp.node_ids, axis=0)
-        outs.append(ch + jnp.sum(msgs, axis=1))
+        outs.append(ch + jnp.sum(msgs, axis=0))
     outputs = node_outputs_to_natural_order(layout, outs)
     unsat_final = unsatisfied_checks(layout, cn_view < 0)
     return DecodeResult(outputs=outputs, iterations=iters, unsatisfied=unsat_final)

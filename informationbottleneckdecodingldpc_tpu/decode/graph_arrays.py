@@ -1,17 +1,19 @@
-"""Device-resident decode layout: degree-grouped contiguous edge ordering.
+"""Device-resident decode layout: degree-grouped, slot-major edge ordering.
 
 The reference's OpenCL decoders walk per-node inbox pointers inside each work
-item (kernels_template.cl). The TPU layout instead *pre-sorts* edges so that:
+item (kernels_template.cl). The TPU layout instead pre-sorts edges so that
 
-- all edges of same-degree check nodes are contiguous -> each degree group is
-  a static ``[num_nodes, degree, batch]`` reshape (no gather) under ``jit``;
-- moving messages between the CN view and the VN view is exactly one global
-  gather with a precomputed permutation per direction (the analog of the
-  reference's ``target_memorycells_*`` indirection, computed once on host).
+- all edges of same-degree nodes are contiguous, organized **slot-major**:
+  a degree-d group's block holds d planes of ``num_nodes`` rows; plane j is
+  "message j of every node" -> each node-update step is elementwise across
+  whole planes (static slices, no gather);
+- moving messages between the CN view and the VN view is one global
+  permutation. For structured codes (quasi-cyclic 802.11n, q-group DVB-S2
+  IRA) the slot-major ordering makes that permutation a concatenation of a
+  few hundred long contiguous **runs**, executed as static slice copies at
+  HBM bandwidth; unstructured codes fall back to a row gather.
 
-All index arrays are built in numpy from :class:`TannerGraph` and uploaded
-once; decoding itself touches only static slices, one gather per direction,
-and the channel/node gathers.
+All index arrays are built in numpy from :class:`TannerGraph` once.
 """
 
 from __future__ import annotations
@@ -26,12 +28,57 @@ from ..codes.graph import TannerGraph
 
 @dataclasses.dataclass(frozen=True)
 class GroupSpec:
-    """A contiguous block of the decode edge layout for one node degree."""
+    """A contiguous block of the decode edge layout for one node degree.
+
+    Block rows [offset, offset + degree*num_nodes) hold plane j at
+    [offset + j*num_nodes, offset + (j+1)*num_nodes): the j-th message slot
+    of every node in the group.
+    """
 
     degree: int
-    offset: int  # starting edge index of this group's block
+    offset: int
     num_nodes: int
     node_ids: jnp.ndarray  # [num_nodes] int32 original node indices
+
+
+@dataclasses.dataclass(frozen=True)
+class PermutationPlan:
+    """dst[i] = src[perm[i]] decomposed into maximal contiguous runs."""
+
+    perm: jnp.ndarray  # [n] int32 (fallback row gather)
+    run_dst: np.ndarray  # [k] int64 start in dst
+    run_src: np.ndarray  # [k] int64 start in src
+    run_len: np.ndarray  # [k] int64
+    use_runs: bool
+
+    @classmethod
+    def from_permutation(cls, perm: np.ndarray, max_runs_fraction: float = 0.05):
+        perm = np.asarray(perm, dtype=np.int64)
+        n = perm.size
+        breaks = np.nonzero(np.diff(perm) != 1)[0]
+        starts = np.concatenate([[0], breaks + 1])
+        lengths = np.diff(np.concatenate([starts, [n]]))
+        use_runs = starts.size <= max(32, int(max_runs_fraction * n))
+        return cls(
+            perm=jnp.asarray(perm.astype(np.int32)),
+            run_dst=starts,
+            run_src=perm[starts],
+            run_len=lengths,
+            use_runs=bool(use_runs),
+        )
+
+    @property
+    def num_runs(self) -> int:
+        return int(self.run_dst.size)
+
+    def apply(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Return x[perm] along axis 0."""
+        if not self.use_runs:
+            return jnp.take(x, self.perm, axis=0)
+        pieces = [
+            x[int(s) : int(s + l)] for s, l in zip(self.run_src, self.run_len)
+        ]
+        return jnp.concatenate(pieces, axis=0)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -47,35 +94,35 @@ class DecodeLayout:
     cn_groups: tuple[GroupSpec, ...]
     vn_groups: tuple[GroupSpec, ...]
 
-    # Permutations between the two decode layouts (pure gathers):
-    #   vn_view = cn_view[cn_pos_of_vn_edge]; cn_view = vn_view[vn_pos_of_cn_edge]
-    cn_pos_of_vn_edge: jnp.ndarray  # [n_edges] int32
-    vn_pos_of_cn_edge: jnp.ndarray  # [n_edges] int32
+    # Layout moves (gather-free when run-structured):
+    #   vn_view = to_vn.apply(cn_view); cn_view = to_cn.apply(vn_view)
+    to_vn: PermutationPlan
+    to_cn: PermutationPlan
 
-    # Channel-value gather: variable node of each CN-layout edge (used to
-    # seed check-node inboxes with channel values, kernels_template.cl:13-30).
+    # Channel-value gather: variable node of each CN-layout edge (seeds the
+    # check-node inboxes with channel values, kernels_template.cl:13-30).
     cn_edge_var: jnp.ndarray  # [n_edges] int32
-    # Variable node of each VN-layout edge.
-    vn_edge_var: jnp.ndarray  # [n_edges] int32
     # Inverse node permutation to assemble outputs in natural variable order.
     vn_node_unperm: jnp.ndarray  # [n_vars] int32
 
     @classmethod
     def from_graph(cls, g: TannerGraph) -> "DecodeLayout":
-        # Decode CN layout: concatenate the degree groups' edge slots.
-        cn_slots = np.concatenate([grp.edge_slots.ravel() for grp in g.cn_groups])
-        vn_slots = np.concatenate([grp.edge_slots.ravel() for grp in g.vn_groups])
-        # Position of each original-order edge in the decode layouts.
+        # Decode layouts: per degree group, slot-major planes.
+        def slots_slot_major(groups):
+            return np.concatenate(
+                [grp.edge_slots.T.ravel() for grp in groups]  # [d, n] planes
+            )
+
+        cn_slots = slots_slot_major(g.cn_groups)
+        vn_slots = slots_slot_major(g.vn_groups)
         cn_pos = np.empty(g.n_edges, dtype=np.int64)
         cn_pos[cn_slots] = np.arange(g.n_edges)
         vn_pos = np.empty(g.n_edges, dtype=np.int64)
         vn_pos[vn_slots] = np.arange(g.n_edges)
 
-        # vn_view[i] holds the message of original VN-order edge vn_slots[i];
-        # the same physical edge sits in the CN view at
-        # cn_pos[cn_slot_of_vn_edge[vn_slots[i]]].
-        cn_pos_of_vn_edge = cn_pos[g.cn_slot_of_vn_edge[vn_slots]].astype(np.int32)
-        vn_pos_of_cn_edge = vn_pos[g.vn_slot_of_cn_edge[cn_slots]].astype(np.int32)
+        # vn_view[i] = cn_view[cn_pos_of_vn_edge[i]] and vice versa.
+        cn_pos_of_vn_edge = cn_pos[g.cn_slot_of_vn_edge[vn_slots]]
+        vn_pos_of_cn_edge = vn_pos[g.vn_slot_of_cn_edge[cn_slots]]
 
         def specs(groups) -> tuple[GroupSpec, ...]:
             out, off = [], 0
@@ -91,9 +138,6 @@ class DecodeLayout:
                 off += grp.node_ids.size * grp.degree
             return tuple(out)
 
-        # vn_node_unperm[v] = position of variable v in the concatenated
-        # group-order node results, so out = concat[vn_node_unperm] restores
-        # natural variable order.
         node_order = np.concatenate([grp.node_ids for grp in g.vn_groups])
         vn_node_unperm = np.empty(g.n_vars, dtype=np.int32)
         vn_node_unperm[node_order] = np.arange(g.n_vars, dtype=np.int32)
@@ -108,9 +152,8 @@ class DecodeLayout:
             code_rate=g.code_rate,
             cn_groups=specs(g.cn_groups),
             vn_groups=specs(g.vn_groups),
-            cn_pos_of_vn_edge=jnp.asarray(cn_pos_of_vn_edge),
-            vn_pos_of_cn_edge=jnp.asarray(vn_pos_of_cn_edge),
+            to_vn=PermutationPlan.from_permutation(cn_pos_of_vn_edge),
+            to_cn=PermutationPlan.from_permutation(vn_pos_of_cn_edge),
             cn_edge_var=jnp.asarray(g.cn_edge_var[cn_slots].astype(np.int32)),
-            vn_edge_var=jnp.asarray(g.vn_edge_var[vn_slots].astype(np.int32)),
             vn_node_unperm=jnp.asarray(vn_node_unperm),
         )

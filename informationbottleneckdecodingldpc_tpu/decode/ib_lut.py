@@ -107,11 +107,7 @@ def ib_lut_decode(
             out = _apply_matching(trellis.matching_cn[0], grp.degree, out)
         return out
 
-    vn_view = jnp.take(
-        apply_per_cn_group(layout, cn_view0, cn_update_iter0),
-        layout.cn_pos_of_vn_edge,
-        axis=0,
-    )
+    vn_view = layout.to_vn.apply(apply_per_cn_group(layout, cn_view0, cn_update_iter0))
 
     def body(state, i):
         (vn_view,) = state
@@ -133,7 +129,7 @@ def ib_lut_decode(
             return out
 
         vn_out = apply_per_vn_group(layout, vn_view, ch, vn_update)
-        cn_view = jnp.take(vn_out, layout.vn_pos_of_cn_edge, axis=0)
+        cn_view = layout.to_cn.apply(vn_out)
 
         # CN update at DE iteration i+1 (the kernel's iteration+1 offset).
         cn_rest_i = jnp.take(trellis.cn_rest, i, axis=0)
@@ -151,11 +147,7 @@ def ib_lut_decode(
                 out = _apply_matching(match_cn_i, grp.degree, out)
             return out
 
-        new_vn_view = jnp.take(
-            apply_per_cn_group(layout, cn_view, cn_update),
-            layout.cn_pos_of_vn_edge,
-            axis=0,
-        )
+        new_vn_view = layout.to_vn.apply(apply_per_cn_group(layout, cn_view, cn_update))
         unsat = unsatisfied_checks(layout, cn_view < thresh)
         return (new_vn_view,), unsat
 
@@ -176,7 +168,7 @@ def ib_lut_decode(
     for grp in layout.vn_groups:
         size = grp.num_nodes * grp.degree
         msgs = vn_view[grp.offset : grp.offset + size].reshape(
-            grp.num_nodes, grp.degree, batch
+            grp.degree, grp.num_nodes, batch
         )
         chv = jnp.take(ch, grp.node_ids, axis=0)
         outs.append(

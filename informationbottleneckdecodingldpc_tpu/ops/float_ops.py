@@ -37,29 +37,29 @@ def min_sum_op(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 def associative_leave_one_out(
     op: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray], msgs: jnp.ndarray
 ) -> jnp.ndarray:
-    """Leave-one-out fold of an associative op over axis 1 via prefix/suffix.
+    """Leave-one-out fold of an associative op over axis 0 via prefix/suffix.
 
-    msgs: [n, d, batch]; returns [n, d, batch] where output j combines all
-    messages except j. Cost O(d) op applications (vs the reference's O(d^2)
-    per-work-item chains).
+    msgs: [d, n, batch] slot-major planes; returns [d, n, batch] where output
+    plane j combines all messages except j. Cost O(d) op applications (vs the
+    reference's O(d^2) per-work-item chains).
     """
-    d = msgs.shape[1]
+    d = msgs.shape[0]
     if d == 1:
         raise ValueError("leave-one-out undefined for degree-1 check nodes")
     if d == 2:
-        return jnp.stack([msgs[:, 1], msgs[:, 0]], axis=1)
-    prefix = [msgs[:, 0]]
+        return jnp.stack([msgs[1], msgs[0]], axis=0)
+    prefix = [msgs[0]]
     for k in range(1, d - 1):
-        prefix.append(op(prefix[-1], msgs[:, k]))
-    suffix = [msgs[:, d - 1]]
+        prefix.append(op(prefix[-1], msgs[k]))
+    suffix = [msgs[d - 1]]
     for k in range(d - 2, 0, -1):
-        suffix.append(op(msgs[:, k], suffix[-1]))
+        suffix.append(op(msgs[k], suffix[-1]))
     suffix.reverse()  # suffix[k-1] = fold(m_k..m_{d-1})
     outs = [suffix[0]]
     for j in range(1, d - 1):
         outs.append(op(prefix[j - 1], suffix[j]))
     outs.append(prefix[d - 2])
-    return jnp.stack(outs, axis=1)
+    return jnp.stack(outs, axis=0)
 
 
 def cn_boxplus_leave_one_out(msgs: jnp.ndarray) -> jnp.ndarray:
@@ -74,10 +74,10 @@ def cn_minsum_leave_one_out(msgs: jnp.ndarray) -> jnp.ndarray:
 
 def vn_sum_leave_one_out(ch: jnp.ndarray, msgs: jnp.ndarray) -> jnp.ndarray:
     """Variable-node update: channel + sum of other messages, clamped to
-    +/-LLR_MAX (kernels_min_and_BP.cl:76-123). Degree-1 nodes forward the
-    channel LLR."""
-    d = msgs.shape[1]
+    +/-LLR_MAX (kernels_min_and_BP.cl:76-123). msgs is [d, n, batch]
+    slot-major; degree-1 nodes forward the channel LLR."""
+    d = msgs.shape[0]
     if d == 1:
-        return jnp.clip(ch[:, None, :], -LLR_MAX, LLR_MAX)
-    total = ch[:, None, :] + jnp.sum(msgs, axis=1, keepdims=True)
+        return jnp.clip(ch[None, :, :], -LLR_MAX, LLR_MAX)
+    total = ch[None, :, :] + jnp.sum(msgs, axis=0, keepdims=True)
     return jnp.clip(total - msgs, -LLR_MAX, LLR_MAX)

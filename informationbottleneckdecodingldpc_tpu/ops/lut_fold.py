@@ -29,14 +29,14 @@ def cn_lut_leave_one_out(
 ) -> jnp.ndarray:
     """Check-node trellis update for one degree group.
 
-    msgs: [n, d, batch] int; step_luts: d-2 pairwise LUTs (step 0 combines the
-    first two messages). Returns [n, d, batch]: output j = fold of all
-    messages except j.
+    msgs: [d, n, batch] int (slot-major planes); step_luts: d-2 pairwise LUTs
+    (step 0 combines the first two messages). Returns [d, n, batch]: output
+    plane j = fold of all messages except j.
     """
-    d = msgs.shape[1]
-    m = [msgs[:, k] for k in range(d)]
+    d = msgs.shape[0]
+    m = [msgs[k] for k in range(d)]
     if d == 2:
-        return jnp.stack([m[1], m[0]], axis=1)
+        return jnp.stack([m[1], m[0]], axis=0)
 
     outs: list = [None] * d
     # Full-chain prefixes f[k] = fold(m_0..m_k), k = 1..d-2.
@@ -56,7 +56,7 @@ def cn_lut_leave_one_out(
         s0 = pairwise_lookup(step_luts[1 + idx], s0, m[k])
         s1 = pairwise_lookup(step_luts[1 + idx], s1, m[k])
     outs[0], outs[1] = s0, s1
-    return jnp.stack(outs, axis=1)
+    return jnp.stack(outs, axis=0)
 
 
 def vn_lut_leave_one_out(
@@ -67,16 +67,16 @@ def vn_lut_leave_one_out(
 ) -> jnp.ndarray:
     """Variable-node trellis update for one degree group.
 
-    ch: [n, batch] channel clusters; msgs: [n, d, batch] incoming CN messages.
-    Output j folds (ch, all messages except j): first step uses ``first_lut``
-    (channel x message domain), later steps ``rest_luts`` in order
-    (kernels_template.cl:135-166). Degree-1 nodes forward the channel value
-    (kernels_template_irreg.cl:131-136).
+    ch: [n, batch] channel clusters; msgs: [d, n, batch] incoming CN messages
+    (slot-major planes). Output plane j folds (ch, all messages except j):
+    first step uses ``first_lut`` (channel x message domain), later steps
+    ``rest_luts`` in order (kernels_template.cl:135-166). Degree-1 nodes
+    forward the channel value (kernels_template_irreg.cl:131-136).
     """
-    d = msgs.shape[1]
+    d = msgs.shape[0]
     if d == 1:
-        return ch[:, None, :]
-    m = [msgs[:, k] for k in range(d)]
+        return ch[None, :, :]
+    m = [msgs[k] for k in range(d)]
     outs: list = [None] * d
     # Full-chain prefixes over (ch, m_0..m_k).
     f = [pairwise_lookup(first_lut, ch, m[0])]
@@ -91,7 +91,7 @@ def vn_lut_leave_one_out(
     for idx, k in enumerate(range(2, d)):
         s0 = pairwise_lookup(rest_luts[idx], s0, m[k])
     outs[0] = s0
-    return jnp.stack(outs, axis=1)
+    return jnp.stack(outs, axis=0)
 
 
 def vn_lut_full_fold(
@@ -101,9 +101,10 @@ def vn_lut_full_fold(
     rest_luts: list[jnp.ndarray],
 ) -> jnp.ndarray:
     """Decision mapping: fold channel plus *all* d messages
-    (calc_varnode_output, kernels_template.cl:241-290). Returns [n, batch]."""
-    d = msgs.shape[1]
-    s = pairwise_lookup(first_lut, ch, msgs[:, 0])
+    (calc_varnode_output, kernels_template.cl:241-290). msgs is [d, n, batch];
+    returns [n, batch]."""
+    d = msgs.shape[0]
+    s = pairwise_lookup(first_lut, ch, msgs[0])
     for k in range(1, d):
-        s = pairwise_lookup(rest_luts[k - 1], s, msgs[:, k])
+        s = pairwise_lookup(rest_luts[k - 1], s, msgs[k])
     return s
