@@ -52,8 +52,7 @@ def main():
     spec = get_model("wlan-1296")
     ebn0 = 0.8
     cfg = get_or_build_config(spec, ebn0=ebn0, i_max=50)
-    H = spec.make_h()
-    layout = DecodeLayout.from_graph(TannerGraph.from_check_matrix(H))
+    layout = spec.make_layout()
     trellis = DeviceTrellis.from_tables(cfg.tables)
     batch = int(os.environ.get("BENCH_BATCH", "1024"))
 

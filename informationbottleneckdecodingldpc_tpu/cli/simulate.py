@@ -48,7 +48,7 @@ def main(argv=None):
 
     spec = get_model(args.model)
     H = spec.make_h()
-    layout = DecodeLayout.from_graph(TannerGraph.from_check_matrix(H))
+    layout = spec.make_layout()
 
     trellis = None
     cardinality_t_channel = spec.cardinality_t_channel

@@ -9,8 +9,12 @@ from .ensembles import (
     code_rate_from_distributions,
 )
 from .wlan import wlan_80211n_parity_check
-from .dvbs2 import dvbs2_like_parity_check
-from .random_codes import regular_parity_check
+from .dvbs2 import (
+    dvbs2_like_parity_check,
+    dvbs2_address_table_parity_check,
+    dvbs2_layout_node_keys,
+)
+from .random_codes import regular_parity_check, regular_qc_parity_check
 
 __all__ = [
     "alist_to_csr",
@@ -25,5 +29,8 @@ __all__ = [
     "code_rate_from_distributions",
     "wlan_80211n_parity_check",
     "dvbs2_like_parity_check",
+    "dvbs2_address_table_parity_check",
+    "dvbs2_layout_node_keys",
     "regular_parity_check",
+    "regular_qc_parity_check",
 ]

@@ -32,8 +32,22 @@ def _staircase(n_parity: int) -> tuple[np.ndarray, np.ndarray]:
     return np.concatenate(rows), np.concatenate(cols)
 
 
+def group_size(k_ldpc: int, n_parity: int) -> int:
+    """Largest expansion-group size <= 360 dividing both K and N-K (the
+    standard uses 360; smaller test codes shrink it)."""
+    import math
+
+    g = math.gcd(k_ldpc, n_parity)
+    if g <= 360:
+        return g
+    for cand in range(360, 0, -1):
+        if g % cand == 0:
+            return cand
+    return 1
+
+
 def dvbs2_address_table_parity_check(
-    addresses: list[list[int]], n_ldpc: int, k_ldpc: int
+    addresses: list[list[int]], n_ldpc: int, k_ldpc: int, group: int | None = None
 ) -> sp.csr_matrix:
     """Expand a DVB-S2 parity-address table into H = [A | staircase].
 
@@ -43,11 +57,12 @@ def dvbs2_address_table_parity_check(
     ``x``, with ``q = (n_ldpc - k_ldpc) // 360``.
     """
     n_parity = n_ldpc - k_ldpc
-    q = n_parity // 360
+    G = group or group_size(k_ldpc, n_parity)
+    q = n_parity // G
     rows, cols = [], []
-    m = np.arange(360, dtype=np.int64)
+    m = np.arange(G, dtype=np.int64)
     for g, addr in enumerate(addresses):
-        col = g * 360 + m
+        col = g * G + m
         for x in addr:
             rows.append((int(x) + m * q) % n_parity)
             cols.append(col)
@@ -64,61 +79,83 @@ def dvbs2_address_table_parity_check(
     return H
 
 
+def dvbs2_like_address_table(
+    n_ldpc: int = 64800, k_ldpc: int = 32400, seed: int = 0
+) -> list[list[int]]:
+    """Seeded random address table with the exact DVB-S2 rate-1/2 profile.
+
+    Follows the standard's construction discipline exactly (360-bit groups,
+    q-strided expansion): the first 36 groups carry 8 addresses (degree-8
+    information columns), the remaining 54 groups 3 addresses (degree-3), and
+    addresses are balanced so every residue class mod q receives exactly
+    ``total/q`` addresses — which makes every parity row's A-degree exactly
+    uniform, reproducing the standard's check-degree profile {6: 1, 7: rest}
+    after adding the staircase.
+
+    Because the expansion rule is the standard's, H built from the *real*
+    ETSI table via :func:`dvbs2_address_table_parity_check` has identical
+    structure; this seeded table is an ensemble stand-in (the true table
+    ships with neither this repo nor the reference, SURVEY.md §6).
+    """
+    n_parity = n_ldpc - k_ldpc
+    G = group_size(k_ldpc, n_parity)
+    q = n_parity // G
+    n_groups = k_ldpc // G
+    # Degree-8 share: 2/5 of info groups at rate 1/2 (12960 of 32400).
+    n_deg8 = int(round(n_groups * 12960 / 32400)) if k_ldpc != 32400 else 36
+    group_sizes = [8] * n_deg8 + [3] * (n_groups - n_deg8)
+    total = sum(group_sizes)
+    if total % q:
+        # pad the last degree-3 groups up to divisibility
+        i = len(group_sizes) - 1
+        while total % q:
+            group_sizes[i] += 1
+            total += 1
+            i -= 1
+    per_class = total // q
+
+    rng = np.random.default_rng(seed)
+    # Deal residue classes so each appears exactly per_class times, then
+    # assign a random multiple-of-q offset per address, avoiding duplicate
+    # addresses within a group.
+    classes = rng.permutation(np.repeat(np.arange(q, dtype=np.int64), per_class))
+    table: list[list[int]] = []
+    pos = 0
+    for size in group_sizes:
+        addrs: set[int] = set()
+        for c in classes[pos : pos + size]:
+            while True:
+                a = int(c) + q * int(rng.integers(0, G))
+                if a not in addrs:
+                    addrs.add(a)
+                    break
+        table.append(sorted(addrs))
+        pos += size
+    return table
+
+
 def dvbs2_like_parity_check(
     n_ldpc: int = 64800, k_ldpc: int = 32400, seed: int = 0
 ) -> sp.csr_matrix:
-    """Seeded ensemble-matched IRA code with the DVB-S2 rate-1/2 profile.
+    """Seeded structured IRA code with the DVB-S2 rate-1/2 profile
+    (q-group expansion of :func:`dvbs2_like_address_table` + staircase)."""
+    table = dvbs2_like_address_table(n_ldpc, k_ldpc, seed)
+    return dvbs2_address_table_parity_check(table, n_ldpc, k_ldpc)
 
-    Information columns: the first ``3/8 K`` (12960 at rate 1/2) have degree 8
-    and the rest degree 3, mirroring the standard's ordering; the A-part edges
-    are spread so every parity row receives exactly the same A-degree, giving
-    check degrees {q_row, q_row+1} exactly as in the standard profile.
+
+def dvbs2_layout_node_keys(n_ldpc: int, k_ldpc: int) -> tuple[np.ndarray, np.ndarray]:
+    """Decode-layout node orderings that turn the CN<->VN edge permutation
+    into ~360-long contiguous runs.
+
+    Checks and parity variables are ordered class-major: position of row r is
+    ``(r % q) * 360 + r // q``. Then every (group, address) block of 360
+    edges, and every staircase diagonal, is a contiguous run in both layouts.
     """
     n_parity = n_ldpc - k_ldpc
-    # Degree-8 / degree-3 split chosen to make A edges divisible by rows:
-    # 8*a + 3*(k-a) = r * n_parity for integer row degree r.
-    a = 0
-    for cand in range(k_ldpc + 1):
-        total = 8 * cand + 3 * (k_ldpc - cand)
-        if total % n_parity == 0 and abs(cand - int(0.4 * k_ldpc)) < abs(
-            a - int(0.4 * k_ldpc)
-        ):
-            a = cand
-    if n_ldpc == 64800 and k_ldpc == 32400:
-        a = 12960  # exact reference profile
-    col_deg = np.concatenate(
-        [np.full(a, 8, np.int64), np.full(k_ldpc - a, 3, np.int64)]
-    )
-    row_deg_a = col_deg.sum() // n_parity
-
-    rng = np.random.default_rng(seed)
-    col_stubs = np.repeat(np.arange(k_ldpc, dtype=np.int64), col_deg)
-    row_stubs = np.tile(np.arange(n_parity, dtype=np.int64), row_deg_a)
-    extra = col_stubs.size - row_stubs.size
-    if extra > 0:  # non-divisible fallback: give the first rows one more edge
-        row_stubs = np.concatenate([row_stubs, np.arange(extra, dtype=np.int64)])
-    rng.shuffle(row_stubs)
-
-    # Repair duplicate (row, col) pairs with pair swaps so H stays 0/1 with
-    # the exact degree sequence.
-    for _ in range(100):
-        key = row_stubs * np.int64(k_ldpc) + col_stubs
-        order = np.argsort(key, kind="stable")
-        dup_pos = order[1:][np.diff(key[order]) == 0]
-        if dup_pos.size == 0:
-            break
-        partners = rng.integers(0, row_stubs.size, size=dup_pos.size)
-        row_stubs[dup_pos], row_stubs[partners] = (
-            row_stubs[partners],
-            row_stubs[dup_pos].copy(),
-        )
-    sr, sc = _staircase(n_parity)
-    rows = np.concatenate([row_stubs, sr])
-    cols = np.concatenate([col_stubs, sc + k_ldpc])
-    H = sp.coo_matrix(
-        (np.ones(rows.size, dtype=np.int8), (rows, cols)),
-        shape=(n_parity, n_ldpc),
-    ).tocsr()
-    H.sum_duplicates()
-    H.data[:] = 1
-    return H
+    G = group_size(k_ldpc, n_parity)
+    q = n_parity // G
+    r = np.arange(n_parity, dtype=np.int64)
+    class_major = (r % q) * G + r // q
+    cn_key = class_major
+    vn_key = np.concatenate([np.arange(k_ldpc, dtype=np.int64), k_ldpc + class_major])
+    return cn_key, vn_key

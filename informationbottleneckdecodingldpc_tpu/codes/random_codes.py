@@ -15,6 +15,85 @@ import numpy as np
 import scipy.sparse as sp
 
 
+def regular_qc_parity_check(
+    n_vars: int,
+    d_v: int = 3,
+    d_c: int = 6,
+    seed: int = 0,
+) -> sp.csr_matrix:
+    """Seeded quasi-cyclic regular (d_v, d_c) code, girth >= 6.
+
+    Base biadjacency: the smallest m_b x n_b 0/1 matrix with column weight
+    d_v and row weight d_c whose n_b divides n_vars (all-ones minus a
+    balanced circulant zero pattern), each 1 expanded to a ZxZ cyclically
+    shifted identity with shifts re-drawn until no 4-cycles remain. The block
+    structure makes the decode layout's CN<->VN permutation a set of Z-long
+    runs (gather-free routing) while staying in the same regular ensemble as
+    MacKay-style codes.
+    """
+    def balanced_base(mb: int, nb: int) -> np.ndarray | None:
+        base = np.ones((mb, nb), dtype=np.int8)
+        dpr = nb - d_c
+        for r in range(mb):
+            for t in range(dpr):
+                base[r, (r * dpr + t) % nb] = 0
+        if (base.sum(1) == d_c).all() and (base.sum(0) == d_v).all():
+            return base
+        return None
+
+    base = None
+    for mb in range(d_v + 1, 16 * d_v + 2):
+        if mb * d_c % d_v:
+            continue
+        nb = mb * d_c // d_v
+        if n_vars % nb:
+            continue
+        base = balanced_base(mb, nb)
+        if base is not None:
+            m_b, n_b = mb, nb
+            break
+    if base is None:
+        raise ValueError(f"no quasi-cyclic base found for n_vars={n_vars}")
+    z = n_vars // n_b
+
+    rng = np.random.default_rng(seed)
+    shifts = rng.integers(0, z, size=(m_b, n_b))
+
+    def has_4cycle() -> tuple | None:
+        for r1 in range(m_b):
+            for r2 in range(r1 + 1, m_b):
+                cols = np.nonzero(base[r1] & base[r2])[0]
+                for i in range(cols.size):
+                    for j in range(i + 1, cols.size):
+                        c1, c2 = cols[i], cols[j]
+                        if (
+                            shifts[r1, c1] - shifts[r1, c2]
+                            + shifts[r2, c2] - shifts[r2, c1]
+                        ) % z == 0:
+                            return r1, c1
+        return None
+
+    for _ in range(10_000):
+        bad = has_4cycle()
+        if bad is None:
+            break
+        shifts[bad] = rng.integers(0, z)
+
+    rows, cols, zr = [], [], np.arange(z, dtype=np.int64)
+    for r in range(m_b):
+        for c in range(n_b):
+            if base[r, c]:
+                rows.append(r * z + zr)
+                cols.append(c * z + (zr + shifts[r, c]) % z)
+    H = sp.coo_matrix(
+        (np.ones(z * base.sum(), dtype=np.int8), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(m_b * z, n_b * z),
+    ).tocsr()
+    H.sum_duplicates()
+    H.data[:] = 1
+    return H
+
+
 def regular_parity_check(
     n_vars: int,
     d_v: int = 3,

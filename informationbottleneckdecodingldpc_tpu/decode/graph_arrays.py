@@ -52,13 +52,13 @@ class PermutationPlan:
     use_runs: bool
 
     @classmethod
-    def from_permutation(cls, perm: np.ndarray, max_runs_fraction: float = 0.05):
+    def from_permutation(cls, perm: np.ndarray, max_runs_fraction: float = 0.25):
         perm = np.asarray(perm, dtype=np.int64)
         n = perm.size
         breaks = np.nonzero(np.diff(perm) != 1)[0]
         starts = np.concatenate([[0], breaks + 1])
         lengths = np.diff(np.concatenate([starts, [n]]))
-        use_runs = starts.size <= max(32, int(max_runs_fraction * n))
+        use_runs = starts.size <= max(128, int(max_runs_fraction * n))
         return cls(
             perm=jnp.asarray(perm.astype(np.int32)),
             run_dst=starts,
@@ -106,15 +106,48 @@ class DecodeLayout:
     vn_node_unperm: jnp.ndarray  # [n_vars] int32
 
     @classmethod
-    def from_graph(cls, g: TannerGraph) -> "DecodeLayout":
-        # Decode layouts: per degree group, slot-major planes.
+    def from_graph(
+        cls,
+        g: TannerGraph,
+        cn_node_key: np.ndarray | None = None,
+        vn_node_key: np.ndarray | None = None,
+    ) -> "DecodeLayout":
+        """Build the decode layout.
+
+        ``cn_node_key`` / ``vn_node_key`` optionally reorder nodes *within*
+        each degree group (ascending key). Structured codes supply keys that
+        make the CN<->VN permutation decompose into long runs (e.g. the
+        class-major ordering of codes/dvbs2.dvbs2_layout_node_keys); outputs
+        are always returned in natural variable order regardless.
+        """
+        # Decode layouts: per degree group, slot-major planes, nodes ordered
+        # by the optional key.
+        def reorder(groups, key):
+            if key is None:
+                return groups
+            key = np.asarray(key)
+            out = []
+            for grp in groups:
+                order = np.argsort(key[grp.node_ids], kind="stable")
+                out.append(
+                    dataclasses.replace(
+                        grp,
+                        node_ids=grp.node_ids[order],
+                        edge_slots=grp.edge_slots[order],
+                    )
+                )
+            return tuple(out)
+
+        cn_groups_g = reorder(g.cn_groups, cn_node_key)
+        vn_groups_g = reorder(g.vn_groups, vn_node_key)
+
         def slots_slot_major(groups):
             return np.concatenate(
                 [grp.edge_slots.T.ravel() for grp in groups]  # [d, n] planes
             )
 
-        cn_slots = slots_slot_major(g.cn_groups)
-        vn_slots = slots_slot_major(g.vn_groups)
+        cn_slots = slots_slot_major(cn_groups_g)
+        vn_slots = slots_slot_major(vn_groups_g)
         cn_pos = np.empty(g.n_edges, dtype=np.int64)
         cn_pos[cn_slots] = np.arange(g.n_edges)
         vn_pos = np.empty(g.n_edges, dtype=np.int64)
@@ -138,7 +171,7 @@ class DecodeLayout:
                 off += grp.node_ids.size * grp.degree
             return tuple(out)
 
-        node_order = np.concatenate([grp.node_ids for grp in g.vn_groups])
+        node_order = np.concatenate([np.asarray(grp.node_ids) for grp in vn_groups_g])
         vn_node_unperm = np.empty(g.n_vars, dtype=np.int32)
         vn_node_unperm[node_order] = np.arange(g.n_vars, dtype=np.int32)
 
@@ -150,8 +183,8 @@ class DecodeLayout:
             d_v_max=g.d_v_max,
             data_len=g.data_len,
             code_rate=g.code_rate,
-            cn_groups=specs(g.cn_groups),
-            vn_groups=specs(g.vn_groups),
+            cn_groups=specs(cn_groups_g),
+            vn_groups=specs(vn_groups_g),
             to_vn=PermutationPlan.from_permutation(cn_pos_of_vn_edge),
             to_cn=PermutationPlan.from_permutation(vn_pos_of_cn_edge),
             cn_edge_var=jnp.asarray(g.cn_edge_var[cn_slots].astype(np.int32)),

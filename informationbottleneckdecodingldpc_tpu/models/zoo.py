@@ -18,9 +18,12 @@ from typing import Callable
 
 import scipy.sparse as sp
 
+import numpy as np
+
 from ..codes import (
+    dvbs2_layout_node_keys,
     dvbs2_like_parity_check,
-    regular_parity_check,
+    regular_qc_parity_check,
     wlan_80211n_parity_check,
 )
 
@@ -44,12 +47,23 @@ class ModelSpec:
     # Regular-code degrees (None for irregular).
     d_v: int | None = None
     d_c: int | None = None
+    # Optional decode-layout node-order keys (structured routing).
+    layout_keys: Callable[[], tuple] | None = None
+
+    def make_layout(self):
+        """TannerGraph + DecodeLayout with this model's structured ordering."""
+        from ..codes.graph import TannerGraph
+        from ..decode.graph_arrays import DecodeLayout
+
+        g = TannerGraph.from_check_matrix(self.make_h())
+        keys = self.layout_keys() if self.layout_keys else (None, None)
+        return DecodeLayout.from_graph(g, cn_node_key=keys[0], vn_node_key=keys[1])
 
 
 MODELS: dict[str, ModelSpec] = {
     "regular-3-6-8000": ModelSpec(
         name="regular-3-6-8000",
-        make_h=lambda: regular_parity_check(8000, 3, 6, seed=483),
+        make_h=lambda: regular_qc_parity_check(8000, 3, 6, seed=483),
         irregular=False,
         cardinality_t_channel=16,
         cardinality_t_decoder=16,
@@ -65,7 +79,7 @@ MODELS: dict[str, ModelSpec] = {
     ),
     "regular-3-6-504": ModelSpec(  # fast test variant
         name="regular-3-6-504",
-        make_h=lambda: regular_parity_check(504, 3, 6, seed=7),
+        make_h=lambda: regular_qc_parity_check(504, 3, 6, seed=7),
         irregular=False,
         cardinality_t_channel=16,
         cardinality_t_decoder=16,
@@ -110,6 +124,7 @@ MODELS: dict[str, ModelSpec] = {
     "dvbs2-64800": ModelSpec(
         name="dvbs2-64800",
         make_h=lambda: dvbs2_like_parity_check(64800, 32400, seed=302307),
+        layout_keys=lambda: dvbs2_layout_node_keys(64800, 32400),
         irregular=True,
         cardinality_t_channel=16,
         cardinality_t_decoder=16,
