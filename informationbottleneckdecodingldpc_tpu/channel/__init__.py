@@ -1,11 +1,25 @@
 """Transmission-chain components: modulation, AWGN channel, IB quantizer."""
 
-from .modulation import bpsk_map
+from .modulation import (
+    LDPCTransmitter,
+    Transmitter,
+    bpsk_map,
+    gray_encoding_table,
+    iq_to_complex,
+    mpsk_map,
+    qam_map,
+)
 from .awgn import awgn_transmit, sigma2_from_ebn0_db, ebn0_db_from_sigma2
 from .quantizer import AWGNChannelQuantizer, QuantizerTables
 
 __all__ = [
+    "LDPCTransmitter",
+    "Transmitter",
     "bpsk_map",
+    "gray_encoding_table",
+    "iq_to_complex",
+    "mpsk_map",
+    "qam_map",
     "awgn_transmit",
     "sigma2_from_ebn0_db",
     "ebn0_db_from_sigma2",

@@ -14,15 +14,16 @@ import jax.numpy as jnp
 def awgn_transmit(
     key: jax.Array, x: jnp.ndarray, sigma2: jnp.ndarray | float, complex_noise: bool = False
 ) -> jnp.ndarray:
-    """y = x + n with real (or complex) Gaussian noise of variance sigma2."""
+    """y = x + n with real (or complex) Gaussian noise of variance sigma2.
+
+    Complex symbols are I/Q pairs (trailing axis of 2, see channel.modulation;
+    the TPU backend has no complex dtypes): with ``complex_noise`` each
+    component receives variance sigma2/2, matching the reference's complex
+    channel (AWGN_channel.py:40-42).
+    """
     if complex_noise:
-        kr, ki = jax.random.split(key)
         scale = jnp.sqrt(sigma2 / 2.0)
-        return (
-            x
-            + scale * jax.random.normal(kr, x.shape, dtype=jnp.float32)
-            + 1j * scale * jax.random.normal(ki, x.shape, dtype=jnp.float32)
-        )
+        return x + scale * jax.random.normal(key, x.shape, dtype=jnp.float32)
     return x + jnp.sqrt(sigma2) * jax.random.normal(key, x.shape, dtype=jnp.float32)
 
 

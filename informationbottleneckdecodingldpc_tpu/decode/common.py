@@ -52,22 +52,36 @@ def apply_per_cn_group(
     return jnp.concatenate(outs, axis=0)
 
 
+def gather_node_values_per_group(
+    layout: DecodeLayout, node_values: jnp.ndarray
+) -> list[jnp.ndarray]:
+    """Pre-gather per-VN-group node values (e.g. channel messages).
+
+    The row gather costs ~as much as a whole LUT fold on TPU; hoisting it out
+    of the decode loop (channel values are loop-invariant) pays it once per
+    decode instead of once per iteration.
+    """
+    return [
+        jnp.take(node_values, grp.node_ids, axis=0) for grp in layout.vn_groups
+    ]
+
+
 def apply_per_vn_group(
     layout: DecodeLayout,
     edge_array: jnp.ndarray,
-    node_values: jnp.ndarray,
+    node_values_per_group: list[jnp.ndarray],
     fn: Callable,
 ) -> jnp.ndarray:
     """Apply fn(ch[n, batch], msgs[d, n, batch], group) -> [d, n, batch] over
-    each variable-node degree group; ``node_values`` is indexed by node id."""
+    each variable-node degree group; ``node_values_per_group`` comes from
+    :func:`gather_node_values_per_group`."""
     batch = edge_array.shape[-1]
     outs = []
-    for grp in layout.vn_groups:
+    for grp, ch in zip(layout.vn_groups, node_values_per_group):
         size = grp.num_nodes * grp.degree
         msgs = edge_array[grp.offset : grp.offset + size].reshape(
             grp.degree, grp.num_nodes, batch
         )
-        ch = jnp.take(node_values, grp.node_ids, axis=0)
         outs.append(fn(ch, msgs, grp).reshape(size, batch))
     return jnp.concatenate(outs, axis=0)
 

@@ -16,6 +16,7 @@ from .common import (
     DecodeResult,
     apply_per_cn_group,
     apply_per_vn_group,
+    gather_node_values_per_group,
     node_outputs_to_natural_order,
     run_message_passing_loop,
     unsatisfied_checks,
@@ -37,13 +38,15 @@ def float_decode(
     # (send_channel_values_to_checknode_inbox, kernels_min_and_BP.cl:12-29).
     cn_view0 = jnp.take(llrs, layout.cn_edge_var, axis=0)
     vn_view0 = jnp.zeros_like(cn_view0)
+    llr_groups = gather_node_values_per_group(layout, llrs)
 
     def body(state, _i):
         cn_view, _ = state
         cn_out = apply_per_cn_group(layout, cn_view, cn_update)
         vn_view = layout.to_vn.apply(cn_out)
         vn_out = apply_per_vn_group(
-            layout, vn_view, llrs, lambda ch, msgs, grp: vn_sum_leave_one_out(ch, msgs)
+            layout, vn_view, llr_groups,
+            lambda ch, msgs, grp: vn_sum_leave_one_out(ch, msgs),
         )
         new_cn_view = layout.to_cn.apply(vn_out)
         unsat = unsatisfied_checks(layout, new_cn_view < 0)
@@ -61,12 +64,11 @@ def float_decode(
     # Posterior output: channel + all incoming messages, no clamp
     # (calc_varnode_output, kernels_min_and_BP.cl:170-204).
     outs = []
-    for grp in layout.vn_groups:
+    for grp, ch in zip(layout.vn_groups, llr_groups):
         size = grp.num_nodes * grp.degree
         msgs = vn_view[grp.offset : grp.offset + size].reshape(
             grp.degree, grp.num_nodes, batch
         )
-        ch = jnp.take(llrs, grp.node_ids, axis=0)
         outs.append(ch + jnp.sum(msgs, axis=0))
     outputs = node_outputs_to_natural_order(layout, outs)
     unsat_final = unsatisfied_checks(layout, cn_view < 0)

@@ -29,11 +29,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..construct.trellis import TrellisTables
-from ..ops.lut_fold import cn_lut_leave_one_out, vn_lut_leave_one_out, vn_lut_full_fold
+from ..ops.lut_fold import (
+    cn_lut_leave_one_out,
+    vector_lookup,
+    vn_lut_full_fold,
+    vn_lut_leave_one_out,
+)
 from .common import (
     DecodeResult,
     apply_per_cn_group,
     apply_per_vn_group,
+    gather_node_values_per_group,
     node_outputs_to_natural_order,
     run_message_passing_loop,
     unsatisfied_checks,
@@ -75,7 +81,7 @@ class DeviceTrellis:
 
 def _apply_matching(table_i: jnp.ndarray, degree: int, msgs: jnp.ndarray) -> jnp.ndarray:
     """Remap messages through the alignment LUT row for this node degree."""
-    return jnp.take(table_i[degree - 1], msgs)
+    return vector_lookup(table_i[degree - 1], msgs)
 
 
 def ib_lut_decode(
@@ -97,6 +103,7 @@ def ib_lut_decode(
     # Seed CN view with channel clusters
     # (send_channel_values_to_checknode_inbox, kernels_template.cl:13-30).
     cn_view0 = jnp.take(ch, layout.cn_edge_var, axis=0)
+    ch_groups = gather_node_values_per_group(layout, ch)
 
     def cn_update_iter0(msgs, grp):
         luts = [trellis.cn_iter0_first] + [
@@ -128,7 +135,7 @@ def ib_lut_decode(
                 out = _apply_matching(match_vn_i, d, out)
             return out
 
-        vn_out = apply_per_vn_group(layout, vn_view, ch, vn_update)
+        vn_out = apply_per_vn_group(layout, vn_view, ch_groups, vn_update)
         cn_view = layout.to_cn.apply(vn_out)
 
         # CN update at DE iteration i+1 (the kernel's iteration+1 offset).
@@ -165,12 +172,11 @@ def ib_lut_decode(
     dec_first = jnp.take(trellis.vn_first, iters, axis=0)
     dec_rest = jnp.take(trellis.vn_rest, iters, axis=0)
     outs = []
-    for grp in layout.vn_groups:
+    for grp, chv in zip(layout.vn_groups, ch_groups):
         size = grp.num_nodes * grp.degree
         msgs = vn_view[grp.offset : grp.offset + size].reshape(
             grp.degree, grp.num_nodes, batch
         )
-        chv = jnp.take(ch, grp.node_ids, axis=0)
         outs.append(
             vn_lut_full_fold(
                 chv, msgs, dec_first, [dec_rest[l] for l in range(max(grp.degree - 1, 0))]

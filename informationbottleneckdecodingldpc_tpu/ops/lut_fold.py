@@ -4,8 +4,14 @@ The reference kernels walk, per work item, an O(d^2) chain of scalar lookups
 (kernels_template.cl:62-89,137-169). Here each same-degree node group is
 processed as one dense ``[nodes, degree, batch]`` tensor; the per-output
 chains share the full-chain prefix states, cutting lookups to ~d^2/2, and
-every lookup is one vectorized gather into a small (<=1024-entry) LUT that XLA
-keeps on-chip.
+every lookup is fully vectorized over the [nodes, batch] plane.
+
+TPU lookup strategy: XLA lowers per-element gathers into tiny LUTs to a
+scalar-unit loop (~0.12 G lookups/s measured on v5e). A |T0|x|T1| table
+lookup is instead evaluated as a compare-select tree on the VPU: 8x128-lane
+selects run at ~2.5 G lookups/s standalone and ~9 G lookups/s when XLA fuses
+the decoder's dependent chains — ~75x over the gather. CPU (tests, golden
+path) keeps the gather, where it is the faster lowering.
 
 Semantics contract (must match the reference trellis layout, SURVEY.md §3.1):
 a node op folds its input sequence strictly left-to-right through per-step
@@ -15,13 +21,62 @@ using steps 0..d-3 in order.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+_FORCE_MODE: str | None = None  # test hook: 'take' | 'select' | None (auto)
+
+
+def set_lookup_mode(mode: str | None) -> None:
+    """Force the lookup lowering ('take' | 'select'); None restores auto."""
+    global _FORCE_MODE
+    if mode not in (None, "take", "select"):
+        raise ValueError(mode)
+    _FORCE_MODE = mode
+
+
+def _use_select() -> bool:
+    if _FORCE_MODE is not None:
+        return _FORCE_MODE == "select"
+    return jax.default_backend() == "tpu"
 
 
 def pairwise_lookup(lut: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """out = lut[a, b] for a 2-D LUT and equally-shaped index arrays."""
+    if _use_select():
+        return _pairwise_lookup_select(lut, a, b)
     flat = lut.reshape(-1)
     return jnp.take(flat, a * lut.shape[1] + b)
+
+
+def vector_lookup(row: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """out = row[idx] for a 1-D LUT ``row`` (e.g. matching/alignment remaps)."""
+    if _use_select():
+        out = jnp.zeros_like(idx)
+        for t in range(row.shape[0]):
+            out = jnp.where(idx == t, row[t], out)
+        return out
+    return jnp.take(row, idx)
+
+
+def _pairwise_lookup_select(
+    lut: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray
+) -> jnp.ndarray:
+    """VPU compare-select evaluation of lut[a, b] (no gather).
+
+    out = sum_i (a == i) * row_i, row_i = sum_j (b == j) * lut[i, j]; the
+    where-chains compile to lane-wide selects and the scalar lut[i, j] reads
+    (O(|T|^2) per step, vs O(nodes * batch) selects) fold into broadcasts.
+    """
+    t0, t1 = lut.shape
+    b_is = [b == j for j in range(t1)]
+    out = jnp.zeros_like(a)
+    for i in range(t0):
+        row = jnp.zeros_like(a)
+        for j in range(t1):
+            row = jnp.where(b_is[j], lut[i, j], row)
+        out = jnp.where(a == i, row, out)
+    return out
 
 
 def cn_lut_leave_one_out(

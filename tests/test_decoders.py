@@ -143,3 +143,47 @@ def test_wlan_layout_builds():
     assert layout.data_len == 648
     degrees = sorted(grp.degree for grp in layout.vn_groups)
     assert degrees == [2, 3, 4, 11]
+
+
+def test_pairwise_lookup_select_matches_take(rng):
+    """The TPU compare-select lowering is bit-exact vs the gather lowering."""
+    from informationbottleneckdecodingldpc_tpu.ops import lut_fold
+
+    for t0, t1 in [(16, 16), (32, 16), (16, 32), (5, 7)]:
+        lut = jnp.asarray(rng.integers(0, 31, size=(t0, t1)), jnp.int32)
+        a = jnp.asarray(rng.integers(0, t0, size=(33, 17)), jnp.int32)
+        b = jnp.asarray(rng.integers(0, t1, size=(33, 17)), jnp.int32)
+        want = np.asarray(lut)[np.asarray(a), np.asarray(b)]
+        try:
+            lut_fold.set_lookup_mode("select")
+            got_sel = lut_fold.pairwise_lookup(lut, a, b)
+            lut_fold.set_lookup_mode("take")
+            got_take = lut_fold.pairwise_lookup(lut, a, b)
+        finally:
+            lut_fold.set_lookup_mode(None)
+        np.testing.assert_array_equal(np.asarray(got_sel), want)
+        np.testing.assert_array_equal(np.asarray(got_take), want)
+
+
+def test_lut_decoder_select_mode_matches_take_mode(rng):
+    """Full decode is bit-exact under either lookup lowering."""
+    from informationbottleneckdecodingldpc_tpu.ops import lut_fold
+
+    H = small_irregular_H(rng)
+    g = TannerGraph.from_check_matrix(H)
+    layout = DecodeLayout.from_graph(g)
+    tables = random_trellis_tables(
+        rng, 16, 16, 4, g.d_c_max, g.d_v_max, matching=True
+    )
+    trellis = DeviceTrellis.from_tables(tables)
+    ch = jnp.asarray(rng.integers(0, 16, size=(g.n_vars, 3)), jnp.int32)
+    try:
+        lut_fold.set_lookup_mode("select")
+        res_sel = ib_lut_decode(layout, trellis, ch, early_exit=False)
+        lut_fold.set_lookup_mode("take")
+        res_take = ib_lut_decode(layout, trellis, ch, early_exit=False)
+    finally:
+        lut_fold.set_lookup_mode(None)
+    np.testing.assert_array_equal(
+        np.asarray(res_sel.outputs), np.asarray(res_take.outputs)
+    )
