@@ -49,30 +49,44 @@ def main():
         get_or_build_config,
     )
 
+    from informationbottleneckdecodingldpc_tpu.channel.quantizer import (
+        sample_clusters_with,
+    )
+    from informationbottleneckdecodingldpc_tpu.decode import ib_lut_decode
+
     spec = get_model("wlan-1296")
     ebn0 = 0.8
     cfg = get_or_build_config(spec, ebn0=ebn0, i_max=50)
     layout = spec.make_layout()
     trellis = DeviceTrellis.from_tables(cfg.tables)
-    batch = int(os.environ.get("BENCH_BATCH", "1024"))
+    batch = int(os.environ.get("BENCH_BATCH", "2048"))
 
     q = AWGNChannelQuantizer(
         float(sigma2_from_ebn0_db(ebn0, 0.5)), 3.0, 16, 2000
     )
-    decode = make_ib_lut_decoder(layout, trellis, early_exit=True)
-    key = jax.random.PRNGKey(0)
-    clusters = q.sample_clusters(key, jnp.zeros((layout.n_vars, batch), jnp.int32))
-    res = decode(clusters)
-    res.outputs.block_until_ready()  # compile
 
-    n_rep = int(os.environ.get("BENCH_REPS", "5"))
+    # One jitted Monte-Carlo block: sample channel clusters (all-zeros
+    # codeword), full early-exit IB LUT decode, error count — a single device
+    # dispatch per block, exactly like the sim engine's hot loop.
+    @jax.jit
+    def mc_block(key):
+        bits = jnp.zeros((layout.n_vars, batch), jnp.int32)
+        clusters = sample_clusters_with(q.device.cdf, key, bits)
+        res = ib_lut_decode(layout, trellis, clusters, early_exit=True)
+        errors = jnp.sum(res.outputs < trellis.t_decoder // 2, dtype=jnp.int32)
+        return errors, res.iterations
+
+    key = jax.random.PRNGKey(0)
+    e, it = mc_block(key)
+    e.block_until_ready()  # compile
+
+    n_rep = int(os.environ.get("BENCH_REPS", "8"))
     t0 = time.time()
     decoded_bits = 0
     for i in range(n_rep):
-        clusters = q.sample_clusters(jax.random.fold_in(key, i), jnp.zeros((layout.n_vars, batch), jnp.int32))
-        res = decode(clusters)
-        res.outputs.block_until_ready()
+        e, it = mc_block(jax.random.fold_in(key, i))
         decoded_bits += layout.n_vars * batch
+    e.block_until_ready()
     elapsed = time.time() - t0
     coded_bps = decoded_bits / elapsed
 

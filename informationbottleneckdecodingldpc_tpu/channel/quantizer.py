@@ -122,17 +122,35 @@ def device_tables(tables: QuantizerTables) -> DeviceQuantizerTables:
 # Pure device ops (tables as runtime arguments).
 # ---------------------------------------------------------------------------
 
+def _threshold_count(thresholds: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """#{w : x > thresholds[w]} as an accumulated compare loop (whole-plane
+    VPU ops; avoids materializing an [.., T] broadcast and avoids gathers,
+    which lower to scalar loops on TPU)."""
+    t = jnp.zeros(x.shape, jnp.int32)
+    for w in range(thresholds.shape[0]):
+        t = t + (x > thresholds[w]).astype(jnp.int32)
+    return t
+
+
+def _float_table_select(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """out = table[idx] for a small float table, as a compare-select chain."""
+    out = jnp.full(idx.shape, table[0], dtype=table.dtype)
+    for t in range(1, table.shape[0]):
+        out = jnp.where(idx == t, table[t], out)
+    return out
+
+
 def quantize_with(limits: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """cluster = #{w in 1..T-1 : y > limits[w]} (kernel semantics,
     kernels_quanti_template.cl:17-23)."""
-    return jnp.sum(y[..., None] > limits[1:], axis=-1, dtype=jnp.int32)
+    return _threshold_count(limits[1:], y)
 
 
 def quantize_llr_with(
     limits: jnp.ndarray, llrs: jnp.ndarray, y: jnp.ndarray
 ) -> jnp.ndarray:
     """LLR of the quantized cluster (kernels_quanti_template.cl:29-49)."""
-    return llrs[quantize_with(limits, y)]
+    return _float_table_select(llrs, quantize_with(limits, y))
 
 
 def sample_clusters_with(
@@ -142,7 +160,7 @@ def sample_clusters_with(
     (quantize_direct, AWGN_Quantizer_BPSK.py:126-143)."""
     cardinality_t = cdf.shape[0] - 1
     u = jax.random.uniform(key, bits.shape, dtype=jnp.float32)
-    t = jnp.sum(u[..., None] > cdf[1:-1], axis=-1, dtype=jnp.int32)
+    t = _threshold_count(cdf[1:-1], u)
     return jnp.where(bits.astype(bool), cardinality_t - 1 - t, t)
 
 
@@ -151,7 +169,7 @@ def sample_llrs_with(
 ) -> jnp.ndarray:
     """LLR of directly sampled clusters (quantize_direct_OpenCL_LLR,
     AWGN_Quantizer_BPSK.py:230-248)."""
-    return llrs[sample_clusters_with(cdf, key, bits)]
+    return _float_table_select(llrs, sample_clusters_with(cdf, key, bits))
 
 
 class AWGNChannelQuantizer:

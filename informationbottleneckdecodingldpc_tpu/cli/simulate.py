@@ -20,7 +20,7 @@ from ..decode import DecodeLayout, DeviceTrellis
 from ..encode import LDPCEncoder
 from ..models import get_model
 from ..sim import BERSimulator, SweepController, SweepSchedule
-from ..sim.results import export_mat, export_npz
+from ..sim.results import export_mat, export_npz, export_plot
 
 
 def main(argv=None):
@@ -43,7 +43,10 @@ def main(argv=None):
     p.add_argument("--results", required=True, help="JSON results (resume point)")
     p.add_argument("--export-npz", default=None)
     p.add_argument("--export-mat", default=None)
+    p.add_argument("--export-plot", default=None, help="BER curve (pdf/png)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--trace-dir", default=None,
+                   help="write a jax.profiler trace (TensorBoard/XProf)")
     args = p.parse_args(argv)
 
     spec = get_model(args.model)
@@ -83,11 +86,16 @@ def main(argv=None):
         target_ber=args.target_ber,
         min_errors=args.min_errors or spec.min_errors,
     )
-    results = SweepController(sim, sched, results_path=args.results).run()
+    from ..utils.profiling import device_trace
+
+    with device_trace(args.trace_dir):
+        results = SweepController(sim, sched, results_path=args.results).run()
     if args.export_npz:
         export_npz(args.export_npz, results)
     if args.export_mat:
         export_mat(args.export_mat, results, decoder_name=args.model)
+    if args.export_plot:
+        export_plot(args.export_plot, results, label=f"{args.model}/{args.decoder}")
 
 
 if __name__ == "__main__":

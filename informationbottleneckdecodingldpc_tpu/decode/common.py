@@ -59,11 +59,15 @@ def gather_node_values_per_group(
 
     The row gather costs ~as much as a whole LUT fold on TPU; hoisting it out
     of the decode loop (channel values are loop-invariant) pays it once per
-    decode instead of once per iteration.
+    decode instead of once per iteration, and the run-decomposed plan turns
+    it into slice copies for structured codes.
     """
-    return [
-        jnp.take(node_values, grp.node_ids, axis=0) for grp in layout.vn_groups
-    ]
+    ordered = layout.vn_gather_plan.apply(node_values)
+    out, off = [], 0
+    for grp in layout.vn_groups:
+        out.append(ordered[off : off + grp.num_nodes])
+        off += grp.num_nodes
+    return out
 
 
 def apply_per_vn_group(
@@ -91,7 +95,7 @@ def node_outputs_to_natural_order(
 ) -> jnp.ndarray:
     """Concatenate per-VN-group node results and restore variable order."""
     concat = jnp.concatenate(per_group_outputs, axis=0)
-    return jnp.take(concat, layout.vn_node_unperm, axis=0)
+    return layout.vn_unperm_plan.apply(concat)
 
 
 def unsatisfied_checks(layout: DecodeLayout, cn_view_bits: jnp.ndarray) -> jnp.ndarray:
@@ -104,12 +108,14 @@ def unsatisfied_checks(layout: DecodeLayout, cn_view_bits: jnp.ndarray) -> jnp.n
     batch = cn_view_bits.shape[-1]
     total = jnp.zeros((batch,), dtype=jnp.int32)
     for grp in layout.cn_groups:
-        size = grp.num_nodes * grp.degree
-        bits = cn_view_bits[grp.offset : grp.offset + size].reshape(
-            grp.degree, grp.num_nodes, batch
-        )
-        syndrome = jnp.sum(bits.astype(jnp.int32), axis=0) % 2
-        total = total + jnp.sum(syndrome, axis=0, dtype=jnp.int32)
+        # XOR across the group's contiguous slot-major planes (elementwise
+        # lane ops on whole planes; avoids a strided cross-plane reduction).
+        n = grp.num_nodes
+        parity = cn_view_bits[grp.offset : grp.offset + n]
+        for j in range(1, grp.degree):
+            off = grp.offset + j * n
+            parity = parity ^ cn_view_bits[off : off + n]
+        total = total + jnp.sum(parity.astype(jnp.int32), axis=0, dtype=jnp.int32)
     return total
 
 

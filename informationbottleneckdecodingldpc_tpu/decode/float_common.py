@@ -36,7 +36,7 @@ def float_decode(
     llrs = channel_llrs.astype(jnp.float32)
     # Seed the CN view with channel LLRs
     # (send_channel_values_to_checknode_inbox, kernels_min_and_BP.cl:12-29).
-    cn_view0 = jnp.take(llrs, layout.cn_edge_var, axis=0)
+    cn_view0 = layout.seed_plan.apply(llrs)
     vn_view0 = jnp.zeros_like(cn_view0)
     llr_groups = gather_node_values_per_group(layout, llrs)
 

@@ -105,6 +105,15 @@ class DecodeLayout:
     # Inverse node permutation to assemble outputs in natural variable order.
     vn_node_unperm: jnp.ndarray  # [n_vars] int32
 
+    # Run-decomposed row-move plans (row gathers lower to slow scalar loops
+    # on TPU; for structured codes these are a few hundred slice copies):
+    #   seed_plan:       ch[n_vars] -> cn_view[n_edges] channel seeding
+    #   vn_gather_plan:  ch[n_vars] -> per-VN-group node values (group order)
+    #   vn_unperm_plan:  group-order node outputs -> natural variable order
+    seed_plan: PermutationPlan
+    vn_gather_plan: PermutationPlan
+    vn_unperm_plan: PermutationPlan
+
     @classmethod
     def from_graph(
         cls,
@@ -174,6 +183,7 @@ class DecodeLayout:
         node_order = np.concatenate([np.asarray(grp.node_ids) for grp in vn_groups_g])
         vn_node_unperm = np.empty(g.n_vars, dtype=np.int32)
         vn_node_unperm[node_order] = np.arange(g.n_vars, dtype=np.int32)
+        cn_edge_var = g.cn_edge_var[cn_slots].astype(np.int64)
 
         return cls(
             n_vars=g.n_vars,
@@ -187,6 +197,11 @@ class DecodeLayout:
             vn_groups=specs(vn_groups_g),
             to_vn=PermutationPlan.from_permutation(cn_pos_of_vn_edge),
             to_cn=PermutationPlan.from_permutation(vn_pos_of_cn_edge),
-            cn_edge_var=jnp.asarray(g.cn_edge_var[cn_slots].astype(np.int32)),
+            cn_edge_var=jnp.asarray(cn_edge_var.astype(np.int32)),
             vn_node_unperm=jnp.asarray(vn_node_unperm),
+            seed_plan=PermutationPlan.from_permutation(cn_edge_var),
+            vn_gather_plan=PermutationPlan.from_permutation(node_order),
+            vn_unperm_plan=PermutationPlan.from_permutation(
+                vn_node_unperm.astype(np.int64)
+            ),
         )

@@ -79,9 +79,11 @@ class DeviceTrellis:
         )
 
 
-def _apply_matching(table_i: jnp.ndarray, degree: int, msgs: jnp.ndarray) -> jnp.ndarray:
+def _apply_matching(
+    table_i: jnp.ndarray, degree: int, msgs: jnp.ndarray, vmax: int
+) -> jnp.ndarray:
     """Remap messages through the alignment LUT row for this node degree."""
-    return vector_lookup(table_i[degree - 1], msgs)
+    return vector_lookup(table_i[degree - 1], msgs, vmax=vmax)
 
 
 def ib_lut_decode(
@@ -102,16 +104,18 @@ def ib_lut_decode(
 
     # Seed CN view with channel clusters
     # (send_channel_values_to_checknode_inbox, kernels_template.cl:13-30).
-    cn_view0 = jnp.take(ch, layout.cn_edge_var, axis=0)
+    cn_view0 = layout.seed_plan.apply(ch)
     ch_groups = gather_node_values_per_group(layout, ch)
+
+    vmax = trellis.t_decoder
 
     def cn_update_iter0(msgs, grp):
         luts = [trellis.cn_iter0_first] + [
             trellis.cn_iter0_rest[l] for l in range(grp.degree - 3)
         ]
-        out = cn_lut_leave_one_out(msgs, luts)
+        out = cn_lut_leave_one_out(msgs, luts, vmax=vmax)
         if trellis.matching_cn is not None:
-            out = _apply_matching(trellis.matching_cn[0], grp.degree, out)
+            out = _apply_matching(trellis.matching_cn[0], grp.degree, out, vmax)
         return out
 
     vn_view = layout.to_vn.apply(apply_per_cn_group(layout, cn_view0, cn_update_iter0))
@@ -129,10 +133,12 @@ def ib_lut_decode(
         def vn_update(chv, msgs, grp):
             d = grp.degree
             out = vn_lut_leave_one_out(
-                chv, msgs, vn_first_i, [vn_rest_i[l] for l in range(max(d - 2, 0))]
+                chv, msgs, vn_first_i,
+                [vn_rest_i[l] for l in range(max(d - 2, 0))],
+                vmax=vmax,
             )
             if match_vn_i is not None and d > 1:
-                out = _apply_matching(match_vn_i, d, out)
+                out = _apply_matching(match_vn_i, d, out, vmax)
             return out
 
         vn_out = apply_per_vn_group(layout, vn_view, ch_groups, vn_update)
@@ -148,10 +154,10 @@ def ib_lut_decode(
 
         def cn_update(msgs, grp):
             out = cn_lut_leave_one_out(
-                msgs, [cn_rest_i[l] for l in range(grp.degree - 2)]
+                msgs, [cn_rest_i[l] for l in range(grp.degree - 2)], vmax=vmax
             )
             if match_cn_i is not None:
-                out = _apply_matching(match_cn_i, grp.degree, out)
+                out = _apply_matching(match_cn_i, grp.degree, out, vmax)
             return out
 
         new_vn_view = layout.to_vn.apply(apply_per_cn_group(layout, cn_view, cn_update))
@@ -179,7 +185,9 @@ def ib_lut_decode(
         )
         outs.append(
             vn_lut_full_fold(
-                chv, msgs, dec_first, [dec_rest[l] for l in range(max(grp.degree - 1, 0))]
+                chv, msgs, dec_first,
+                [dec_rest[l] for l in range(max(grp.degree - 1, 0))],
+                vmax=vmax,
             )
         )
     outputs = node_outputs_to_natural_order(layout, outs)

@@ -6,12 +6,21 @@ processed as one dense ``[nodes, degree, batch]`` tensor; the per-output
 chains share the full-chain prefix states, cutting lookups to ~d^2/2, and
 every lookup is fully vectorized over the [nodes, batch] plane.
 
-TPU lookup strategy: XLA lowers per-element gathers into tiny LUTs to a
-scalar-unit loop (~0.12 G lookups/s measured on v5e). A |T0|x|T1| table
-lookup is instead evaluated as a compare-select tree on the VPU: 8x128-lane
-selects run at ~2.5 G lookups/s standalone and ~9 G lookups/s when XLA fuses
-the decoder's dependent chains — ~75x over the gather. CPU (tests, golden
-path) keeps the gather, where it is the faster lowering.
+TPU lookup strategy (v5e measurements, 4.8M-element planes):
+
+- XLA lowers per-element gathers into tiny LUTs to a scalar loop
+  (~0.12 G lookups/s) — unusable. CPU keeps the gather ('take' mode).
+- A |T0|x|T1| lookup evaluated as a VPU compare-select tree ('select' mode)
+  runs at ~2.5 G standalone / ~9 G lookups/s chained.
+- 'packed' mode (TPU default): pack each LUT *column* (fixed second operand
+  b) into ceil(T0/per) int32 words of ``field_bits``-bit fields; selecting
+  the column by b costs |T1| compares + |T1|*W selects, and each chained
+  lookup is then one word select + a per-lane variable shift + mask
+  (~50 G lookups/s once columns amortize). The leave-one-out chains reuse
+  each (step-LUT, message) column across all outputs — the fold functions
+  cache them — so the column cost amortizes over ~d/2 chain steps.
+  Int32 wrapping is harmless: packing wraps two's-complement bit patterns,
+  the arithmetic right shift's sign-extension is masked off.
 
 Semantics contract (must match the reference trellis layout, SURVEY.md §3.1):
 a node op folds its input sequence strictly left-to-right through per-step
@@ -24,39 +33,163 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_FORCE_MODE: str | None = None  # test hook: 'take' | 'select' | None (auto)
+_FORCE_MODE: str | None = None  # test hook: 'take' | 'select' | 'packed' | None
 
 
 def set_lookup_mode(mode: str | None) -> None:
-    """Force the lookup lowering ('take' | 'select'); None restores auto."""
+    """Force the lookup lowering ('take' | 'select' | 'packed'); None = auto."""
     global _FORCE_MODE
-    if mode not in (None, "take", "select"):
+    if mode not in (None, "take", "select", "packed"):
         raise ValueError(mode)
     _FORCE_MODE = mode
 
 
-def _use_select() -> bool:
+def _mode(vmax: int | None) -> str:
     if _FORCE_MODE is not None:
-        return _FORCE_MODE == "select"
-    return jax.default_backend() == "tpu"
+        mode = _FORCE_MODE
+    else:
+        mode = "packed" if jax.default_backend() == "tpu" else "take"
+    if mode == "packed" and (vmax is None or vmax > 256):
+        return "select" if jax.default_backend() == "tpu" else "take"
+    return mode
 
 
-def pairwise_lookup(lut: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """out = lut[a, b] for a 2-D LUT and equally-shaped index arrays."""
-    if _use_select():
+def _field_bits(vmax: int) -> int:
+    return 4 if vmax <= 16 else 8  # per-word fields: 8 or 4 (shift/mod stay bit ops)
+
+
+def pairwise_lookup(
+    lut: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray, vmax: int | None = None
+) -> jnp.ndarray:
+    """out = lut[a, b] for a 2-D LUT and equally-shaped index arrays.
+
+    ``vmax``: static exclusive upper bound on the LUT *values* (the decoder
+    passes cardinality |T|); enables the packed lowering.
+    """
+    mode = _mode(vmax)
+    if mode == "packed":
+        packed = _pack_lut(lut, _field_bits(vmax))
+        b_is = [b == j for j in range(lut.shape[1])]
+        cols = _select_columns(packed, b_is)
+        return _extract(cols, a, _field_bits(vmax))
+    if mode == "select":
         return _pairwise_lookup_select(lut, a, b)
     flat = lut.reshape(-1)
     return jnp.take(flat, a * lut.shape[1] + b)
 
 
-def vector_lookup(row: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """out = row[idx] for a 1-D LUT ``row`` (e.g. matching/alignment remaps)."""
-    if _use_select():
+def vector_lookup(
+    row: jnp.ndarray, idx: jnp.ndarray, vmax: int | None = None
+) -> jnp.ndarray:
+    """out = row[idx] for a 1-D LUT ``row`` (matching/alignment remaps)."""
+    mode = _mode(vmax)
+    if mode == "packed":
+        fb = _field_bits(vmax)
+        words = _pack_lut(row[:, None], fb)[:, 0]  # [W] scalars
+        cols = [words[w] + jnp.zeros_like(idx) for w in range(words.shape[0])]
+        return _extract(cols, idx, fb)
+    if mode == "select":
         out = jnp.zeros_like(idx)
         for t in range(row.shape[0]):
             out = jnp.where(idx == t, row[t], out)
         return out
     return jnp.take(row, idx)
+
+
+# ---------------------------------------------------------------------------
+# Packed-column machinery
+
+
+def _pack_lut(lut: jnp.ndarray, field_bits: int) -> jnp.ndarray:
+    """[T0, T1] int LUT -> [W, T1] int32, ``32/field_bits`` fields per word
+    packed along the first (a) axis. Overflow into the sign bit wraps; the
+    extraction mask makes that harmless."""
+    per = 32 // field_bits
+    t0, t1 = lut.shape
+    w = -(-t0 // per)
+    lut = lut.astype(jnp.int32)
+    if w * per != t0:
+        lut = jnp.concatenate(
+            [lut, jnp.zeros((w * per - t0, t1), jnp.int32)], axis=0
+        )
+    r = lut.reshape(w, per, t1)
+    weights = jnp.asarray(
+        [1 << (field_bits * k) for k in range(per)], jnp.int32
+    )[None, :, None]
+    return jnp.sum(r * weights, axis=1)
+
+
+def _select_columns(packed: jnp.ndarray, b_is: list[jnp.ndarray]) -> list[jnp.ndarray]:
+    """Column (over b) of the packed LUT per element: W arrays like b."""
+    w, t1 = packed.shape
+    cols = []
+    for k in range(w):
+        acc = jnp.zeros(b_is[0].shape, jnp.int32)
+        for j in range(t1):
+            acc = jnp.where(b_is[j], packed[k, j], acc)
+        cols.append(acc)
+    return cols
+
+
+def _extract(cols: list[jnp.ndarray], a: jnp.ndarray, field_bits: int) -> jnp.ndarray:
+    """out = field ``a`` of the packed column: word select + variable shift."""
+    per = 32 // field_bits
+    shift_bits = per.bit_length() - 1  # per is 8 or 4
+    if len(cols) == 1:
+        word = cols[0]
+    else:
+        wsel = a >> shift_bits
+        word = cols[0]
+        for k in range(1, len(cols)):
+            word = jnp.where(wsel == k, cols[k], word)
+    return (word >> (field_bits * (a & (per - 1)))) & ((1 << field_bits) - 1)
+
+
+class _Stepper:
+    """Chain-step evaluator with per-(LUT, message) column caching.
+
+    ``luts``: the per-step pairwise LUTs; ``operands``: the b-side inputs
+    (messages / channel values). ``step(lut_idx, state, op_idx)`` returns
+    luts[lut_idx][state, operands[op_idx]].
+    """
+
+    def __init__(self, luts: list[jnp.ndarray], operands: list[jnp.ndarray], vmax: int | None):
+        self.luts = luts
+        self.operands = operands
+        self.mode = _mode(vmax)
+        if self.mode == "packed":
+            self.fb = _field_bits(vmax)
+            self.packed = [_pack_lut(l, self.fb) for l in luts]
+            self._b_is: dict[int, list[jnp.ndarray]] = {}
+            self._cols: dict[tuple[int, int], list[jnp.ndarray]] = {}
+
+    def _b_compares(self, op_idx: int, t1: int) -> list[jnp.ndarray]:
+        got = self._b_is.get(op_idx)
+        if got is None or len(got) < t1:
+            b = self.operands[op_idx]
+            got = [b == j for j in range(t1)]
+            self._b_is[op_idx] = got
+        return got[:t1]
+
+    def step(self, lut_idx: int, state: jnp.ndarray, op_idx: int) -> jnp.ndarray:
+        if self.mode == "packed":
+            key = (lut_idx, op_idx)
+            cols = self._cols.get(key)
+            if cols is None:
+                t1 = self.luts[lut_idx].shape[1]
+                cols = _select_columns(
+                    self.packed[lut_idx], self._b_compares(op_idx, t1)
+                )
+                self._cols[key] = cols
+            return _extract(cols, state, self.fb)
+        if self.mode == "select":
+            return _pairwise_lookup_select(
+                self.luts[lut_idx], state, self.operands[op_idx]
+            )
+        lut = self.luts[lut_idx]
+        return jnp.take(
+            lut.reshape(-1), state * lut.shape[1] + self.operands[op_idx]
+        )
 
 
 def _pairwise_lookup_select(
@@ -79,8 +212,12 @@ def _pairwise_lookup_select(
     return out
 
 
+# ---------------------------------------------------------------------------
+# Node-operation folds
+
+
 def cn_lut_leave_one_out(
-    msgs: jnp.ndarray, step_luts: list[jnp.ndarray]
+    msgs: jnp.ndarray, step_luts: list[jnp.ndarray], vmax: int | None = None
 ) -> jnp.ndarray:
     """Check-node trellis update for one degree group.
 
@@ -93,23 +230,26 @@ def cn_lut_leave_one_out(
     if d == 2:
         return jnp.stack([m[1], m[0]], axis=0)
 
+    st = _Stepper(step_luts, m, vmax)
     outs: list = [None] * d
     # Full-chain prefixes f[k] = fold(m_0..m_k), k = 1..d-2.
-    f: list = [None, pairwise_lookup(step_luts[0], m[0], m[1])]
+    f: list = [None, st.step(0, m[0], 1)]
     for k in range(2, d - 1):
-        f.append(pairwise_lookup(step_luts[k - 1], f[k - 1], m[k]))
-    # Output j >= 2 continues from prefix f[j-1] with steps j-1..d-3.
+        f.append(st.step(k - 1, f[k - 1], k))
+    # Output j >= 2 continues from prefix f[j-1] with steps j-1..d-3; the
+    # step consuming message k always uses LUT k-2, so (LUT, msg) columns
+    # are shared across all chains below.
     for j in range(2, d):
         s = f[j - 1]
-        for idx, k in enumerate(range(j + 1, d)):
-            s = pairwise_lookup(step_luts[j - 1 + idx], s, m[k])
+        for k in range(j + 1, d):
+            s = st.step(k - 2, s, k)
         outs[j] = s
     # Outputs 0 and 1 need their own chains (first step differs).
-    s0 = pairwise_lookup(step_luts[0], m[1], m[2])
-    s1 = pairwise_lookup(step_luts[0], m[0], m[2])
-    for idx, k in enumerate(range(3, d)):
-        s0 = pairwise_lookup(step_luts[1 + idx], s0, m[k])
-        s1 = pairwise_lookup(step_luts[1 + idx], s1, m[k])
+    s0 = st.step(0, m[1], 2)
+    s1 = st.step(0, m[0], 2)
+    for k in range(3, d):
+        s0 = st.step(k - 2, s0, k)
+        s1 = st.step(k - 2, s1, k)
     outs[0], outs[1] = s0, s1
     return jnp.stack(outs, axis=0)
 
@@ -119,6 +259,7 @@ def vn_lut_leave_one_out(
     msgs: jnp.ndarray,
     first_lut: jnp.ndarray,
     rest_luts: list[jnp.ndarray],
+    vmax: int | None = None,
 ) -> jnp.ndarray:
     """Variable-node trellis update for one degree group.
 
@@ -132,19 +273,24 @@ def vn_lut_leave_one_out(
     if d == 1:
         return ch[None, :, :]
     m = [msgs[k] for k in range(d)]
+    # LUT list: 0 = first (channel x msg), 1.. = rest.
+    st = _Stepper([first_lut] + list(rest_luts), m, vmax)
     outs: list = [None] * d
-    # Full-chain prefixes over (ch, m_0..m_k).
-    f = [pairwise_lookup(first_lut, ch, m[0])]
+    # Full-chain prefixes over (ch, m_0..m_k); step consuming message k (k>=1)
+    # uses rest LUT k-1 (stepper index k).
+    f = [st.step(0, ch, 0)]
     for k in range(1, d - 1):
-        f.append(pairwise_lookup(rest_luts[k - 1], f[k - 1], m[k]))
+        f.append(st.step(k, f[k - 1], k))
+    # Chain for output j: prefix f[j-1], then steps consuming messages
+    # k = j+1..d-1 with rest LUT k-2 (stepper index k-1).
     for j in range(1, d):
         s = f[j - 1]
-        for idx, k in enumerate(range(j + 1, d)):
-            s = pairwise_lookup(rest_luts[j - 1 + idx], s, m[k])
+        for k in range(j + 1, d):
+            s = st.step(k - 1, s, k)
         outs[j] = s
-    s0 = pairwise_lookup(first_lut, ch, m[1])
-    for idx, k in enumerate(range(2, d)):
-        s0 = pairwise_lookup(rest_luts[idx], s0, m[k])
+    s0 = st.step(0, ch, 1)
+    for k in range(2, d):
+        s0 = st.step(k - 1, s0, k)
     outs[0] = s0
     return jnp.stack(outs, axis=0)
 
@@ -154,12 +300,15 @@ def vn_lut_full_fold(
     msgs: jnp.ndarray,
     first_lut: jnp.ndarray,
     rest_luts: list[jnp.ndarray],
+    vmax: int | None = None,
 ) -> jnp.ndarray:
     """Decision mapping: fold channel plus *all* d messages
     (calc_varnode_output, kernels_template.cl:241-290). msgs is [d, n, batch];
     returns [n, batch]."""
     d = msgs.shape[0]
-    s = pairwise_lookup(first_lut, ch, msgs[0])
+    m = [msgs[k] for k in range(d)]
+    st = _Stepper([first_lut] + list(rest_luts), m, vmax)
+    s = st.step(0, ch, 0)
     for k in range(1, d):
-        s = pairwise_lookup(rest_luts[k - 1], s, msgs[k])
+        s = st.step(k, s, k)
     return s

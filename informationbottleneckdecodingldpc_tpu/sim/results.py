@@ -16,8 +16,16 @@ import numpy as np
 from .engine import PointResult
 
 
-def save_results(path: str, results: list[PointResult]) -> None:
+def save_results(
+    path: str, results: list[PointResult], partial: dict | None = None
+) -> None:
+    """Atomically persist completed points plus (optionally) the in-progress
+    point's counters — the (SNR, step-index/RNG position, error counters)
+    tuple that makes multi-hour sweeps resumable across preemptions
+    (SURVEY.md §5 'failure detection / checkpoint-resume')."""
     payload = {"points": [r.to_dict() for r in results]}
+    if partial is not None:
+        payload["partial"] = partial
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(payload, f, indent=2)
@@ -28,6 +36,36 @@ def load_results(path: str) -> list[PointResult]:
     with open(path) as f:
         payload = json.load(f)
     return [PointResult(**p) for p in payload["points"]]
+
+
+def load_partial(path: str) -> dict | None:
+    with open(path) as f:
+        payload = json.load(f)
+    return payload.get("partial")
+
+
+def export_plot(path: str, results: list[PointResult], label: str = "") -> None:
+    """BER-vs-Eb/N0 plot, the reference's matplotlib tail
+    (BER_simulation_OpenCL.py:151-157); skipped if matplotlib is missing."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return
+    fig, ax = plt.subplots()
+    ax.semilogy(
+        [r.ebn0_db for r in results], [max(r.ber, 1e-12) for r in results],
+        marker="o", label=label or None,
+    )
+    ax.set_xlabel("Eb/N0 (dB)")
+    ax.set_ylabel("BER")
+    ax.grid(True, which="both", alpha=0.4)
+    if label:
+        ax.legend()
+    fig.savefig(path, bbox_inches="tight")
+    plt.close(fig)
 
 
 def export_npz(path: str, results: list[PointResult]) -> None:

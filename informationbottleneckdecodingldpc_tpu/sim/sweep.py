@@ -13,8 +13,8 @@ from __future__ import annotations
 import dataclasses
 import os
 
-from .engine import BERSimulator, PointResult
-from .results import load_results, save_results
+from .engine import BERSimulator, PointCheckpoint, PointResult
+from .results import load_partial, load_results, save_results
 
 
 @dataclasses.dataclass
@@ -27,6 +27,7 @@ class SweepSchedule:
     target_ber: float = 1e-6
     min_errors: int = 7000
     max_blocks_per_point: int = 10_000_000
+    checkpoint_every_steps: int = 50  # persist mid-point counters this often
 
 
 @dataclasses.dataclass
@@ -39,12 +40,19 @@ class SweepController:
     def run(self) -> list[PointResult]:
         sched = self.schedule
         results: list[PointResult] = []
+        partial: dict | None = None
         if self.results_path and os.path.exists(self.results_path):
             results = load_results(self.results_path)
+            partial = load_partial(self.results_path)
             if self.verbose and results:
                 print(
                     f"resuming sweep: {len(results)} completed points up to "
                     f"{results[-1].ebn0_db:.2f} dB"
+                )
+            if self.verbose and partial:
+                print(
+                    f"resuming mid-point at {partial['ebn0_db']:.2f} dB: "
+                    f"{partial['errors']} errors / {partial['blocks']} blocks"
                 )
 
         while True:
@@ -61,11 +69,28 @@ class SweepController:
             else:
                 ebn0 = sched.start_db
 
+            checkpoint = None
+            if partial is not None and abs(partial["ebn0_db"] - ebn0) < 1e-9:
+                checkpoint = PointCheckpoint(**partial)
+            partial = None
+
+            def persist_partial(state: PointCheckpoint):
+                if (
+                    self.results_path
+                    and state.step_index % sched.checkpoint_every_steps == 0
+                ):
+                    save_results(
+                        self.results_path, results,
+                        partial=dataclasses.asdict(state),
+                    )
+
             point = self.simulator.run_point(
                 ebn0,
                 min_errors=sched.min_errors,
                 max_blocks=sched.max_blocks_per_point,
                 verbose=self.verbose,
+                checkpoint=checkpoint,
+                on_progress=persist_partial,
             )
             results.append(point)
             if self.verbose:

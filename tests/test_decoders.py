@@ -154,15 +154,19 @@ def test_pairwise_lookup_select_matches_take(rng):
         a = jnp.asarray(rng.integers(0, t0, size=(33, 17)), jnp.int32)
         b = jnp.asarray(rng.integers(0, t1, size=(33, 17)), jnp.int32)
         want = np.asarray(lut)[np.asarray(a), np.asarray(b)]
+        vmax = int(np.asarray(lut).max()) + 1
         try:
-            lut_fold.set_lookup_mode("select")
-            got_sel = lut_fold.pairwise_lookup(lut, a, b)
-            lut_fold.set_lookup_mode("take")
-            got_take = lut_fold.pairwise_lookup(lut, a, b)
+            for mode in ("select", "take", "packed"):
+                lut_fold.set_lookup_mode(mode)
+                got = lut_fold.pairwise_lookup(lut, a, b, vmax=vmax)
+                np.testing.assert_array_equal(np.asarray(got), want, err_msg=mode)
+                row = lut[0]
+                got_row = lut_fold.vector_lookup(row, b, vmax=vmax)
+                np.testing.assert_array_equal(
+                    np.asarray(got_row), np.asarray(row)[np.asarray(b)], err_msg=mode
+                )
         finally:
             lut_fold.set_lookup_mode(None)
-        np.testing.assert_array_equal(np.asarray(got_sel), want)
-        np.testing.assert_array_equal(np.asarray(got_take), want)
 
 
 def test_lut_decoder_select_mode_matches_take_mode(rng):
@@ -177,13 +181,14 @@ def test_lut_decoder_select_mode_matches_take_mode(rng):
     )
     trellis = DeviceTrellis.from_tables(tables)
     ch = jnp.asarray(rng.integers(0, 16, size=(g.n_vars, 3)), jnp.int32)
+    outs = {}
     try:
-        lut_fold.set_lookup_mode("select")
-        res_sel = ib_lut_decode(layout, trellis, ch, early_exit=False)
-        lut_fold.set_lookup_mode("take")
-        res_take = ib_lut_decode(layout, trellis, ch, early_exit=False)
+        for mode in ("select", "take", "packed"):
+            lut_fold.set_lookup_mode(mode)
+            outs[mode] = np.asarray(
+                ib_lut_decode(layout, trellis, ch, early_exit=False).outputs
+            )
     finally:
         lut_fold.set_lookup_mode(None)
-    np.testing.assert_array_equal(
-        np.asarray(res_sel.outputs), np.asarray(res_take.outputs)
-    )
+    np.testing.assert_array_equal(outs["select"], outs["take"])
+    np.testing.assert_array_equal(outs["packed"], outs["take"])
