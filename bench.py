@@ -65,13 +65,28 @@ def main():
         float(sigma2_from_ebn0_db(ebn0, 0.5)), 3.0, 16, 2000
     )
 
+    from informationbottleneckdecodingldpc_tpu.kernels import (
+        FusedIBDecoder,
+        fused_supported,
+    )
+
+    use_fused = (
+        os.environ.get("BENCH_BACKEND", "fused") != "xla"
+        and fused_supported(layout)
+    )
+    if use_fused:
+        fused = FusedIBDecoder(layout, cfg.tables, early_exit=True)
+        decode = fused
+    else:
+        decode = lambda c: ib_lut_decode(layout, trellis, c, early_exit=True)
+
     # One jitted Monte-Carlo block: sample channel clusters (all-zeros
     # codeword), full early-exit IB LUT decode, error count — a single device
     # dispatch per block, exactly like the sim engine's hot loop.
     def mc_block(key):
         bits = jnp.zeros((layout.n_vars, batch), jnp.int32)
         clusters = sample_clusters_with(q.device.cdf, key, bits)
-        res = ib_lut_decode(layout, trellis, clusters, early_exit=True)
+        res = decode(clusters)
         errors = jnp.sum(res.outputs < trellis.t_decoder // 2, dtype=jnp.int32)
         return errors, res.iterations
 

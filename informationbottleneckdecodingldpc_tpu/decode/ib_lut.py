@@ -61,11 +61,15 @@ class DeviceTrellis:
     vn_rest: jnp.ndarray  # [i_max, d_v_max-1, T, T]
     matching_cn: jnp.ndarray | None
     matching_vn: jnp.ndarray | None
+    # Host-side source tables (kept so the fused Pallas kernel can re-pack
+    # them; not used in traced code).
+    host: TrellisTables | None = None
 
     @classmethod
     def from_tables(cls, t: TrellisTables, use_matching: bool = True) -> "DeviceTrellis":
         as_i32 = lambda a: jnp.asarray(np.asarray(a), dtype=jnp.int32)
         return cls(
+            host=t,
             t_channel=t.cardinality_t_channel,
             t_decoder=t.cardinality_t_decoder,
             i_max=t.i_max,

@@ -1,0 +1,416 @@
+"""Fused Pallas TPU kernel for the discrete IB lookup-table decoder.
+
+The XLA path (decode/ib_lut.py) launches the per-iteration node updates and
+message routing as separate fused computations; both [n_edges, batch] message
+views round-trip HBM every iteration (~300 MB/iter for the WLAN code at
+batch 2048). This kernel instead keeps *both* message views resident in VMEM
+for the entire decode: the grid walks batch tiles, and each program seeds the
+check-node view from its channel-cluster tile, then runs the full
+message-passing loop (VN fold -> route -> syndrome -> CN fold -> route) with
+only VPU work — no HBM traffic until the decision outputs are written.
+
+Reference semantics reproduced (same contract as decode/ib_lut.py, which
+mirrors Discrete_LDPC_decoding/discrete_LDPC_decoder.py:202-295 and
+kernels_template{,_irreg}.cl): iteration-0 CN tables, the in-loop
+``iteration+1`` CN matching offset, batch-lockstep early exit — here at
+batch-*tile* granularity (each grid program exits independently; the XLA
+path's whole-batch lockstep is a special case with one tile). With
+``early_exit=False`` the fused and XLA paths are bit-exact.
+
+Design notes:
+- All pairwise trellis LUTs are pre-packed on the host into int32 words
+  (8 four-bit fields per word for |T|<=16) — in-kernel lookups are VPU
+  compare-select + shift/mask, never gathers (ops/lut_fold.py docstring).
+- Message routing uses the layout's run-decomposed permutations as unrolled
+  static VMEM slice copies (structured codes: a few hundred runs). Codes
+  whose permutations don't run-decompose fall back to the XLA path.
+- Early exit is a ``lax.while_loop`` whose body mutates the two VMEM scratch
+  views in place; the carry holds only (iteration, unsatisfied-per-codeword).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..construct.trellis import TrellisTables
+from ..decode.common import DecodeResult
+from ..decode.graph_arrays import DecodeLayout, PermutationPlan
+from ..ops.lut_fold import (
+    PackedLut,
+    _field_bits,
+    cn_lut_leave_one_out,
+    pack_lut_batch,
+    vector_lookup_words,
+    vn_lut_full_fold,
+    vn_lut_leave_one_out,
+)
+
+# An unrolled VMEM copy per run: keep the op count (and Mosaic compile time)
+# bounded. Codes above this fall back to the XLA path.
+MAX_TOTAL_RUNS = 4096
+
+
+def _runs(plan: PermutationPlan) -> tuple[tuple[int, int, int], ...]:
+    """(dst, src, len) triples of a permutation plan, as static ints."""
+    return tuple(
+        (int(d), int(s), int(l))
+        for d, s, l in zip(plan.run_dst, plan.run_src, plan.run_len)
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class _PackedTables:
+    """All trellis tables pre-packed into int32 words (see pack_lut_batch)."""
+
+    fb: int
+    t_channel: int
+    t_decoder: int
+    i_max: int
+    cn_i0_first: jnp.ndarray  # [Wch, Tch]
+    cn_i0_rest: jnp.ndarray | None  # [d_c_max-3, W, Tch]
+    cn_rest: jnp.ndarray  # [i_max-1, d_c_max-2, W, T]
+    vn_first: jnp.ndarray  # [i_max, Wch, T]
+    vn_rest: jnp.ndarray | None  # [i_max, d_v_max-1, W, T]
+    match_cn: jnp.ndarray | None  # [i_max, d_c_max, W]
+    match_vn: jnp.ndarray | None  # [i_max, d_v_max, W]
+
+    @classmethod
+    def from_tables(cls, t: TrellisTables, use_matching: bool = True):
+        T = t.cardinality_t_decoder
+        pk = lambda a: jnp.asarray(pack_lut_batch(np.asarray(a), T))
+
+        def pk_rows(a):  # [..., T] rows -> [..., W] words
+            a = np.asarray(a)
+            return jnp.asarray(pack_lut_batch(a[..., None], T)[..., 0])
+
+        has_match = use_matching and t.has_matching
+        return cls(
+            fb=_field_bits(T),
+            t_channel=t.cardinality_t_channel,
+            t_decoder=T,
+            i_max=t.i_max,
+            cn_i0_first=pk(t.cn_iter0_first),
+            cn_i0_rest=pk(t.cn_iter0_rest) if t.cn_iter0_rest.size else None,
+            cn_rest=pk(t.cn_rest),
+            vn_first=pk(t.vn_first),
+            vn_rest=pk(t.vn_rest) if t.vn_rest.size else None,
+            match_cn=pk_rows(t.matching_cn) if has_match else None,
+            match_vn=pk_rows(t.matching_vn) if has_match else None,
+        )
+
+
+# Leave headroom under the 128 MB v5e VMEM for fold temporaries, the
+# double-buffered channel/output blocks, and the packed tables.
+VMEM_SCRATCH_BUDGET = 72 * 1024 * 1024
+
+
+def fused_supported(layout: DecodeLayout, batch_tile: int = 128) -> bool:
+    """Whether the layout fits the all-resident fused kernel: routing must
+    run-decompose tightly enough to unroll, and both message views (plus the
+    per-node staging buffers) must fit the VMEM scratch budget."""
+    plans = (
+        layout.to_vn,
+        layout.to_cn,
+        layout.seed_plan,
+        layout.vn_gather_plan,
+        layout.vn_unperm_plan,
+    )
+    scratch = 2 * (layout.n_edges + layout.n_vars) * batch_tile * 4
+    return (
+        all(p.use_runs for p in plans)
+        and sum(p.num_runs for p in plans) <= MAX_TOTAL_RUNS
+        and scratch <= VMEM_SCRATCH_BUDGET
+    )
+
+
+class FusedIBDecoder:
+    """Compiled fused-kernel decoder: clusters [n_vars, batch] -> DecodeResult.
+
+    ``batch_tile`` is the per-grid-program batch width (lane-dim multiple of
+    128); batch is padded up to a multiple of it. ``interpret`` defaults to
+    True off-TPU (tests run the same kernel through the Pallas interpreter).
+    """
+
+    def __init__(
+        self,
+        layout: DecodeLayout,
+        tables: TrellisTables,
+        max_iters: int | None = None,
+        early_exit: bool = True,
+        use_matching: bool = True,
+        batch_tile: int = 128,
+        interpret: bool | None = None,
+    ):
+        if not fused_supported(layout, batch_tile):
+            raise ValueError(
+                "layout does not fit the fused kernel (routing does not "
+                "run-decompose, or message views exceed VMEM); use the XLA path"
+            )
+        self.layout = layout
+        self.packed = _PackedTables.from_tables(tables, use_matching=use_matching)
+        self.imax = max_iters if max_iters is not None else tables.i_max
+        if self.imax > tables.i_max:
+            raise ValueError("max_iters exceeds constructed i_max")
+        self.early_exit = early_exit
+        self.batch_tile = batch_tile
+        self.interpret = (
+            interpret
+            if interpret is not None
+            else jax.default_backend() != "tpu"
+        )
+        self._kernel = _build_kernel(
+            layout, self.packed, self.imax, early_exit, batch_tile, self.interpret
+        )
+
+    def __call__(self, channel_clusters: jnp.ndarray) -> DecodeResult:
+        return self._kernel(channel_clusters)
+
+
+def make_fused_ib_decoder(layout, tables, **kw) -> FusedIBDecoder:
+    return FusedIBDecoder(layout, tables, **kw)
+
+
+def _build_kernel(
+    layout: DecodeLayout,
+    pt: _PackedTables,
+    imax: int,
+    early_exit: bool,
+    batch_tile: int,
+    interpret: bool,
+):
+    Bt = batch_tile
+    T = pt.t_decoder
+    fb = pt.fb
+    thresh = T // 2
+    n_vars, n_edges = layout.n_vars, layout.n_edges
+
+    seed_runs = _runs(layout.seed_plan)
+    gather_runs = _runs(layout.vn_gather_plan)
+    unperm_runs = _runs(layout.vn_unperm_plan)
+    to_vn_runs = _runs(layout.to_vn)
+    to_cn_runs = _runs(layout.to_cn)
+
+    cn_groups = tuple(
+        (g.offset, g.num_nodes, g.degree) for g in layout.cn_groups
+    )
+    vn_groups = tuple(
+        (g.offset, g.num_nodes, g.degree) for g in layout.vn_groups
+    )
+    # Node offsets of each VN group inside the group-ordered node arrays.
+    vn_node_offsets = []
+    off = 0
+    for _, n, _ in vn_groups:
+        vn_node_offsets.append(off)
+        off += n
+    vn_node_offsets = tuple(vn_node_offsets)
+
+    has_match = pt.match_cn is not None
+    has_cn_i0_rest = pt.cn_i0_rest is not None
+    has_vn_rest = pt.vn_rest is not None
+
+    def plut(words_val, t1):
+        return PackedLut(words=words_val, t1=t1, fb=fb)
+
+    def copy_runs(dst_ref, src_ref, runs):
+        for d, s, l in runs:
+            dst_ref[d : d + l] = src_ref[s : s + l]
+
+    def read_planes(ref, off, n, d):
+        return [ref[off + j * n : off + (j + 1) * n] for j in range(d)]
+
+    def write_planes(ref, off, n, planes):
+        for j, p in enumerate(planes):
+            ref[off + j * n : off + (j + 1) * n] = p
+
+    def kernel(*refs):
+        it = iter(refs)
+        ch_ref = next(it)
+        cn_i0_first_ref = next(it)
+        cn_i0_rest_ref = next(it) if has_cn_i0_rest else None
+        cn_rest_ref = next(it)
+        vn_first_ref = next(it)
+        vn_rest_ref = next(it) if has_vn_rest else None
+        match_cn_ref = next(it) if has_match else None
+        match_vn_ref = next(it) if has_match else None
+        out_ref, unsat_ref, iters_ref = next(it), next(it), next(it)
+        A, B, CHG, OUTS = next(it), next(it), next(it), next(it)
+
+        # --- Seed: CN view gets the channel cluster of each edge's variable
+        # (send_channel_values_to_checknode_inbox, kernels_template.cl:13-30);
+        # CHG caches group-ordered per-node channel values for the VN folds.
+        copy_runs(A, ch_ref, seed_runs)
+        copy_runs(CHG, ch_ref, gather_runs)
+
+        # --- Iteration-0 CN update (iteration-0 trellis tables).
+        i0_first = cn_i0_first_ref[:]
+        for off_, n, d in cn_groups:
+            planes = read_planes(A, off_, n, d)
+            luts = [plut(i0_first, pt.t_channel)] + [
+                plut(cn_i0_rest_ref[l], pt.t_channel) for l in range(d - 3)
+            ]
+            outp = cn_lut_leave_one_out(planes, luts, vmax=T)
+            if has_match:
+                row = match_cn_ref[0, d - 1]
+                outp = [vector_lookup_words(row, p, fb) for p in outp]
+            write_planes(A, off_, n, outp)
+        copy_runs(B, A, to_vn_runs)
+
+        def loop_body(i, _unsat):
+            # VN update with iteration-i tables, in place on the VN view.
+            vn_first_i = vn_first_ref[i]
+            vn_rest_i = vn_rest_ref[i] if has_vn_rest else None
+            match_vn_i = match_vn_ref[i] if has_match else None
+            for goff, (off_, n, d) in zip(vn_node_offsets, vn_groups):
+                chv = CHG[goff : goff + n]
+                planes = read_planes(B, off_, n, d)
+                outp = vn_lut_leave_one_out(
+                    chv,
+                    planes,
+                    plut(vn_first_i, T),
+                    [plut(vn_rest_i[l], T) for l in range(max(d - 2, 0))],
+                    vmax=T,
+                )
+                if has_match and d > 1:
+                    row = match_vn_i[d - 1]
+                    outp = [vector_lookup_words(row, p, fb) for p in outp]
+                write_planes(B, off_, n, outp)
+            copy_runs(A, B, to_cn_runs)
+
+            # Syndrome on the routed VN->CN messages (kernels_template.cl:292).
+            unsat = jnp.zeros((Bt,), jnp.int32)
+            for off_, n, d in cn_groups:
+                parity = (A[off_ : off_ + n] < thresh).astype(jnp.int32)
+                for j in range(1, d):
+                    parity = parity ^ (
+                        A[off_ + j * n : off_ + (j + 1) * n] < thresh
+                    ).astype(jnp.int32)
+                unsat = unsat + jnp.sum(parity, axis=0, dtype=jnp.int32)
+
+            # CN update at DE iteration i+1 (the kernel's iteration+1 offset,
+            # kernels_template.cl:199-200), in place on the CN view.
+            cn_rest_i = cn_rest_ref[i]
+            match_cn_i = match_cn_ref[i + 1] if has_match else None
+            for off_, n, d in cn_groups:
+                planes = read_planes(A, off_, n, d)
+                outp = cn_lut_leave_one_out(
+                    planes,
+                    [plut(cn_rest_i[l], T) for l in range(d - 2)],
+                    vmax=T,
+                )
+                if has_match:
+                    row = match_cn_i[d - 1]
+                    outp = [vector_lookup_words(row, p, fb) for p in outp]
+                write_planes(A, off_, n, outp)
+            copy_runs(B, A, to_vn_runs)
+            return unsat
+
+        unsat0 = jnp.ones((Bt,), jnp.int32)
+        if imax - 1 <= 0:
+            iters, unsat = jnp.int32(0), unsat0
+        elif early_exit:
+
+            def cond(c):
+                i, unsat = c
+                return jnp.logical_and(
+                    i < imax - 1, jnp.sum((unsat > 0).astype(jnp.int32)) > 0
+                )
+
+            def step(c):
+                i, unsat = c
+                return i + 1, loop_body(i, unsat)
+
+            iters, unsat = jax.lax.while_loop(
+                cond, step, (jnp.int32(0), unsat0)
+            )
+        else:
+            unsat = jax.lax.fori_loop(0, imax - 1, loop_body, unsat0)
+            iters = jnp.int32(imax - 1)
+
+        # --- Decision mapping with iteration-``iters`` VN tables
+        # (calc_varnode_output call, discrete_LDPC_decoder.py:279-288).
+        dec_first = vn_first_ref[iters]
+        dec_rest = vn_rest_ref[iters] if has_vn_rest else None
+        for goff, (off_, n, d) in zip(vn_node_offsets, vn_groups):
+            chv = CHG[goff : goff + n]
+            planes = read_planes(B, off_, n, d)
+            OUTS[goff : goff + n] = vn_lut_full_fold(
+                chv,
+                planes,
+                plut(dec_first, T),
+                [plut(dec_rest[l], T) for l in range(max(d - 1, 0))],
+                vmax=T,
+            )
+        copy_runs(out_ref, OUTS, unperm_runs)
+        unsat_ref[0, :] = unsat
+        iters_ref[0, :] = jnp.full((Bt,), iters, jnp.int32)
+
+    # ---- pallas_call plumbing -------------------------------------------
+    table_arrays = [pt.cn_i0_first]
+    if has_cn_i0_rest:
+        table_arrays.append(pt.cn_i0_rest)
+    table_arrays.append(pt.cn_rest)
+    table_arrays.append(pt.vn_first)
+    if has_vn_rest:
+        table_arrays.append(pt.vn_rest)
+    if has_match:
+        table_arrays.extend([pt.match_cn, pt.match_vn])
+
+    full = lambda a: pl.BlockSpec(
+        a.shape, lambda b: (0,) * a.ndim, memory_space=pltpu.VMEM
+    )
+
+    def run(channel_clusters):
+        batch = channel_clusters.shape[-1]
+        pad = (-batch) % Bt
+        ch = channel_clusters.astype(jnp.int32)
+        if pad:
+            ch = jnp.pad(ch, ((0, 0), (0, pad)))
+        padded = batch + pad
+        grid = (padded // Bt,)
+        out, unsat, iters = pl.pallas_call(
+            kernel,
+            grid=grid,
+            out_shape=(
+                jax.ShapeDtypeStruct((n_vars, padded), jnp.int32),
+                jax.ShapeDtypeStruct((1, padded), jnp.int32),
+                jax.ShapeDtypeStruct((1, padded), jnp.int32),
+            ),
+            in_specs=[
+                pl.BlockSpec(
+                    (n_vars, Bt), lambda b: (0, b), memory_space=pltpu.VMEM
+                )
+            ]
+            + [full(a) for a in table_arrays],
+            out_specs=(
+                pl.BlockSpec(
+                    (n_vars, Bt), lambda b: (0, b), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec((1, Bt), lambda b: (0, b), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Bt), lambda b: (0, b), memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((n_edges, Bt), jnp.int32),  # A: CN view
+                pltpu.VMEM((n_edges, Bt), jnp.int32),  # B: VN view
+                pltpu.VMEM((n_vars, Bt), jnp.int32),  # CHG
+                pltpu.VMEM((n_vars, Bt), jnp.int32),  # OUTS
+            ],
+            compiler_params=pltpu.CompilerParams(
+                # v5e has 128 MB VMEM; the default 16 MB scoped limit is too
+                # small for the resident message views plus fold temporaries.
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(ch, *table_arrays)
+        out = out[:, :batch]
+        unsat = unsat[0, :batch]
+        iters = jnp.max(iters[0, :batch])
+        return DecodeResult(outputs=out, iterations=iters, unsatisfied=unsat)
+
+    return jax.jit(run)

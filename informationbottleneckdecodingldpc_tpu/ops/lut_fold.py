@@ -30,10 +30,27 @@ using steps 0..d-3 in order.
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 
 _FORCE_MODE: str | None = None  # test hook: 'take' | 'select' | 'packed' | None
+
+
+@dataclasses.dataclass
+class PackedLut:
+    """A pairwise LUT pre-packed into int32 words (see ``_pack_lut``).
+
+    ``words``: [W, T1] — field ``a`` of column ``b`` is ``lut[a, b]``.
+    Passing these instead of raw [T0, T1] tables forces the packed lowering
+    and lets callers (the fused Pallas kernel) pack once on the host instead
+    of per trace.
+    """
+
+    words: jnp.ndarray
+    t1: int
+    fb: int
 
 
 def set_lookup_mode(mode: str | None) -> None:
@@ -96,6 +113,41 @@ def vector_lookup(
     return jnp.take(row, idx)
 
 
+def vector_lookup_words(
+    words: jnp.ndarray, idx: jnp.ndarray, fb: int
+) -> jnp.ndarray:
+    """out = row[idx] where ``words`` is the pre-packed row ([W] int32)."""
+    cols = [words[w] + jnp.zeros_like(idx) for w in range(words.shape[0])]
+    return _extract(cols, idx, fb)
+
+
+def pack_lut_batch(tables, vmax: int):
+    """Host-side batch packing: [..., T0, T1] int tables -> [..., W, T1]
+    int32 words (same packing as ``_pack_lut``, vectorized over leading
+    dims). For 1-D rows (matching vectors) pass [..., T0, 1] and take
+    ``[..., :, 0]``."""
+    import numpy as np
+
+    tables = np.asarray(tables)
+    fb = _field_bits(vmax)
+    per = 32 // fb
+    t0, t1 = tables.shape[-2], tables.shape[-1]
+    w = -(-t0 // per)
+    pad = w * per - t0
+    if pad:
+        tables = np.concatenate(
+            [tables, np.zeros(tables.shape[:-2] + (pad, t1), tables.dtype)],
+            axis=-2,
+        )
+    r = tables.reshape(tables.shape[:-2] + (w, per, t1)).astype(np.int64)
+    weights = (1 << (fb * np.arange(per, dtype=np.int64)))[:, None]
+    out = (r * weights).sum(axis=-2)
+    # Wrap to two's-complement int32 (packing may spill into the sign bit).
+    return (out & 0xFFFFFFFF).astype(np.uint32).view(np.int32).reshape(
+        tables.shape[:-2] + (w, t1)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Packed-column machinery
 
@@ -148,18 +200,27 @@ def _extract(cols: list[jnp.ndarray], a: jnp.ndarray, field_bits: int) -> jnp.nd
 class _Stepper:
     """Chain-step evaluator with per-(LUT, message) column caching.
 
-    ``luts``: the per-step pairwise LUTs; ``operands``: the b-side inputs
-    (messages / channel values). ``step(lut_idx, state, op_idx)`` returns
-    luts[lut_idx][state, operands[op_idx]].
+    ``luts``: the per-step pairwise LUTs — raw [T0, T1] arrays, or
+    :class:`PackedLut` (pre-packed, forces the packed lowering);
+    ``operands``: the b-side inputs (messages / channel values).
+    ``step(lut_idx, state, op_idx)`` returns luts[lut_idx][state,
+    operands[op_idx]].
     """
 
-    def __init__(self, luts: list[jnp.ndarray], operands: list[jnp.ndarray], vmax: int | None):
+    def __init__(self, luts: list, operands: list[jnp.ndarray], vmax: int | None):
         self.luts = luts
         self.operands = operands
-        self.mode = _mode(vmax)
+        prepacked = any(isinstance(l, PackedLut) for l in luts)
+        self.mode = "packed" if prepacked else _mode(vmax)
         if self.mode == "packed":
-            self.fb = _field_bits(vmax)
-            self.packed = [_pack_lut(l, self.fb) for l in luts]
+            if prepacked:
+                self.fb = next(l.fb for l in luts if isinstance(l, PackedLut))
+                self.packed = [l.words for l in luts]
+                self._t1s = [l.t1 for l in luts]
+            else:
+                self.fb = _field_bits(vmax)
+                self.packed = [_pack_lut(l, self.fb) for l in luts]
+                self._t1s = [l.shape[1] for l in luts]
             self._b_is: dict[int, list[jnp.ndarray]] = {}
             self._cols: dict[tuple[int, int], list[jnp.ndarray]] = {}
 
@@ -176,9 +237,9 @@ class _Stepper:
             key = (lut_idx, op_idx)
             cols = self._cols.get(key)
             if cols is None:
-                t1 = self.luts[lut_idx].shape[1]
                 cols = _select_columns(
-                    self.packed[lut_idx], self._b_compares(op_idx, t1)
+                    self.packed[lut_idx],
+                    self._b_compares(op_idx, self._t1s[lut_idx]),
                 )
                 self._cols[key] = cols
             return _extract(cols, state, self.fb)
@@ -217,18 +278,21 @@ def _pairwise_lookup_select(
 
 
 def cn_lut_leave_one_out(
-    msgs: jnp.ndarray, step_luts: list[jnp.ndarray], vmax: int | None = None
-) -> jnp.ndarray:
+    msgs, step_luts: list, vmax: int | None = None
+):
     """Check-node trellis update for one degree group.
 
-    msgs: [d, n, batch] int (slot-major planes); step_luts: d-2 pairwise LUTs
-    (step 0 combines the first two messages). Returns [d, n, batch]: output
-    plane j = fold of all messages except j.
+    msgs: [d, n, batch] int (slot-major planes) or a list of d [n, batch]
+    planes; step_luts: d-2 pairwise LUTs (step 0 combines the first two
+    messages; raw or :class:`PackedLut`). Returns [d, n, batch] (or a plane
+    list, matching the input kind): output plane j = fold of all messages
+    except j.
     """
-    d = msgs.shape[0]
-    m = [msgs[k] for k in range(d)]
+    as_planes = isinstance(msgs, (list, tuple))
+    m = list(msgs) if as_planes else [msgs[k] for k in range(msgs.shape[0])]
+    d = len(m)
     if d == 2:
-        return jnp.stack([m[1], m[0]], axis=0)
+        return [m[1], m[0]] if as_planes else jnp.stack([m[1], m[0]], axis=0)
 
     st = _Stepper(step_luts, m, vmax)
     outs: list = [None] * d
@@ -251,28 +315,31 @@ def cn_lut_leave_one_out(
         s0 = st.step(k - 2, s0, k)
         s1 = st.step(k - 2, s1, k)
     outs[0], outs[1] = s0, s1
-    return jnp.stack(outs, axis=0)
+    return outs if as_planes else jnp.stack(outs, axis=0)
 
 
 def vn_lut_leave_one_out(
     ch: jnp.ndarray,
-    msgs: jnp.ndarray,
-    first_lut: jnp.ndarray,
-    rest_luts: list[jnp.ndarray],
+    msgs,
+    first_lut,
+    rest_luts: list,
     vmax: int | None = None,
-) -> jnp.ndarray:
+):
     """Variable-node trellis update for one degree group.
 
     ch: [n, batch] channel clusters; msgs: [d, n, batch] incoming CN messages
-    (slot-major planes). Output plane j folds (ch, all messages except j):
-    first step uses ``first_lut`` (channel x message domain), later steps
-    ``rest_luts`` in order (kernels_template.cl:135-166). Degree-1 nodes
-    forward the channel value (kernels_template_irreg.cl:131-136).
+    (slot-major planes) or a list of d planes. Output plane j folds (ch, all
+    messages except j): first step uses ``first_lut`` (channel x message
+    domain), later steps ``rest_luts`` in order (kernels_template.cl:135-166).
+    Degree-1 nodes forward the channel value
+    (kernels_template_irreg.cl:131-136). Returns planes matching the input
+    kind.
     """
-    d = msgs.shape[0]
+    as_planes = isinstance(msgs, (list, tuple))
+    m = list(msgs) if as_planes else [msgs[k] for k in range(msgs.shape[0])]
+    d = len(m)
     if d == 1:
-        return ch[None, :, :]
-    m = [msgs[k] for k in range(d)]
+        return [ch] if as_planes else ch[None, :, :]
     # LUT list: 0 = first (channel x msg), 1.. = rest.
     st = _Stepper([first_lut] + list(rest_luts), m, vmax)
     outs: list = [None] * d
@@ -292,21 +359,23 @@ def vn_lut_leave_one_out(
     for k in range(2, d):
         s0 = st.step(k - 1, s0, k)
     outs[0] = s0
-    return jnp.stack(outs, axis=0)
+    return outs if as_planes else jnp.stack(outs, axis=0)
 
 
 def vn_lut_full_fold(
     ch: jnp.ndarray,
-    msgs: jnp.ndarray,
-    first_lut: jnp.ndarray,
-    rest_luts: list[jnp.ndarray],
+    msgs,
+    first_lut,
+    rest_luts: list,
     vmax: int | None = None,
 ) -> jnp.ndarray:
     """Decision mapping: fold channel plus *all* d messages
-    (calc_varnode_output, kernels_template.cl:241-290). msgs is [d, n, batch];
-    returns [n, batch]."""
-    d = msgs.shape[0]
-    m = [msgs[k] for k in range(d)]
+    (calc_varnode_output, kernels_template.cl:241-290). msgs is [d, n, batch]
+    or a list of d planes; returns [n, batch]."""
+    m = list(msgs) if isinstance(msgs, (list, tuple)) else [
+        msgs[k] for k in range(msgs.shape[0])
+    ]
+    d = len(m)
     st = _Stepper([first_lut] + list(rest_luts), m, vmax)
     s = st.step(0, ch, 0)
     for k in range(1, d):

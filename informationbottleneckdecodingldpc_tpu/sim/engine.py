@@ -102,6 +102,7 @@ class BERSimulator:
         early_exit: bool = True,
         encoder=None,
         seed: int = 0,
+        backend: str = "auto",  # 'auto' | 'xla' | 'fused' (ib decoder only)
     ):
         if decoder == "ib":
             if trellis is None:
@@ -143,12 +144,39 @@ class BERSimulator:
                     "encoder has no device path for this code; use host "
                     "pre-encoding or the allzero chain"
                 )
+        # Fused Pallas kernel (TPU fast path). Per-batch-tile early exit
+        # instead of the XLA path's whole-batch lockstep — identical BER,
+        # fewer wasted iterations; bit-exact when early_exit is off.
+        self._fused_decoder = None
+        if decoder == "ib" and backend != "xla":
+            from ..kernels.ib_lut_fused import FusedIBDecoder, fused_supported
+
+            bt = min(128, self.batch_per_device)
+            ok = trellis.host is not None and fused_supported(layout, bt)
+            if backend == "fused" and not ok:
+                raise ValueError(
+                    "backend='fused' requested but the layout/tables do not "
+                    "support the fused kernel"
+                )
+            if ok and (
+                backend == "fused" or jax.default_backend() == "tpu"
+            ):
+                self._fused_decoder = FusedIBDecoder(
+                    layout,
+                    trellis.host,
+                    max_iters=self.max_iters,
+                    early_exit=self.early_exit,
+                    batch_tile=bt,
+                )
+
         self._step = self._build_step()
         self._quant_cache: dict[float, DeviceQuantizerTables] = {}
 
     # ------------------------------------------------------------------
     def _decode(self, channel_input, convergence_reduce):
         if self.decoder == "ib":
+            if self._fused_decoder is not None:
+                return self._fused_decoder(channel_input)
             return ib_lut_decode(
                 self.layout,
                 self.trellis,
