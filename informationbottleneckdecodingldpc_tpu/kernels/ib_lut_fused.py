@@ -65,6 +65,38 @@ def _runs(plan: PermutationPlan) -> tuple[tuple[int, int, int], ...]:
     )
 
 
+def _scatter_runs(plan: PermutationPlan, groups):
+    """Per-(group, plane) routed-write decomposition of ``dst = src[perm]``.
+
+    Returns, for each group and each of its slot planes, static
+    ``(dst_start, src_start_in_plane, len)`` runs such that writing
+    ``dst[d:d+l] = plane[s:s+l]`` for all runs equals routing the plane
+    through the permutation. Lets node updates write their outputs straight
+    into the opposite view (route-on-write), skipping the full-view copy.
+    """
+    perm = np.asarray(plan.perm, dtype=np.int64)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size)
+    out = []
+    for g in groups:
+        n = int(g.num_nodes)
+        planes = []
+        for j in range(int(g.degree)):
+            r0 = int(g.offset) + j * n
+            seg = inv[r0 : r0 + n]
+            breaks = np.nonzero(np.diff(seg) != 1)[0]
+            starts = np.concatenate([[0], breaks + 1]).astype(np.int64)
+            lens = np.diff(np.concatenate([starts, [n]]))
+            planes.append(
+                tuple(
+                    (int(seg[s]), int(s), int(l))
+                    for s, l in zip(starts, lens)
+                )
+            )
+        out.append(tuple(planes))
+    return tuple(out)
+
+
 @dataclasses.dataclass(frozen=True)
 class _PackedTables:
     """All trellis tables pre-packed into int32 words (see pack_lut_batch)."""
@@ -194,8 +226,10 @@ def _build_kernel(
     seed_runs = _runs(layout.seed_plan)
     gather_runs = _runs(layout.vn_gather_plan)
     unperm_runs = _runs(layout.vn_unperm_plan)
-    to_vn_runs = _runs(layout.to_vn)
-    to_cn_runs = _runs(layout.to_cn)
+    # Route-on-write: CN outputs scatter straight into the VN view and vice
+    # versa (per-plane runs of to_vn/to_cn), replacing full-view copies.
+    cn_scatter = _scatter_runs(layout.to_vn, layout.cn_groups)
+    vn_scatter = _scatter_runs(layout.to_cn, layout.vn_groups)
 
     cn_groups = tuple(
         (g.offset, g.num_nodes, g.degree) for g in layout.cn_groups
@@ -225,9 +259,10 @@ def _build_kernel(
     def read_planes(ref, off, n, d):
         return [ref[off + j * n : off + (j + 1) * n] for j in range(d)]
 
-    def write_planes(ref, off, n, planes):
-        for j, p in enumerate(planes):
-            ref[off + j * n : off + (j + 1) * n] = p
+    def write_planes_routed(ref, plane_runs, planes):
+        for runs, p in zip(plane_runs, planes):
+            for d, s, l in runs:
+                ref[d : d + l] = p[s : s + l]
 
     def kernel(*refs):
         it = iter(refs)
@@ -248,9 +283,10 @@ def _build_kernel(
         copy_runs(A, ch_ref, seed_runs)
         copy_runs(CHG, ch_ref, gather_runs)
 
-        # --- Iteration-0 CN update (iteration-0 trellis tables).
+        # --- Iteration-0 CN update (iteration-0 trellis tables), routed
+        # straight into the VN view.
         i0_first = cn_i0_first_ref[:]
-        for off_, n, d in cn_groups:
+        for runs, (off_, n, d) in zip(cn_scatter, cn_groups):
             planes = read_planes(A, off_, n, d)
             luts = [plut(i0_first, pt.t_channel)] + [
                 plut(cn_i0_rest_ref[l], pt.t_channel) for l in range(d - 3)
@@ -259,15 +295,16 @@ def _build_kernel(
             if has_match:
                 row = match_cn_ref[0, d - 1]
                 outp = [vector_lookup_words(row, p, fb) for p in outp]
-            write_planes(A, off_, n, outp)
-        copy_runs(B, A, to_vn_runs)
+            write_planes_routed(B, runs, outp)
 
-        def loop_body(i, _unsat):
-            # VN update with iteration-i tables, in place on the VN view.
+        def loop_body(i, want_syndrome: bool):
+            # VN update with iteration-i tables, routed into the CN view.
             vn_first_i = vn_first_ref[i]
             vn_rest_i = vn_rest_ref[i] if has_vn_rest else None
             match_vn_i = match_vn_ref[i] if has_match else None
-            for goff, (off_, n, d) in zip(vn_node_offsets, vn_groups):
+            for runs, goff, (off_, n, d) in zip(
+                vn_scatter, vn_node_offsets, vn_groups
+            ):
                 chv = CHG[goff : goff + n]
                 planes = read_planes(B, off_, n, d)
                 outp = vn_lut_leave_one_out(
@@ -280,24 +317,26 @@ def _build_kernel(
                 if has_match and d > 1:
                     row = match_vn_i[d - 1]
                     outp = [vector_lookup_words(row, p, fb) for p in outp]
-                write_planes(B, off_, n, outp)
-            copy_runs(A, B, to_cn_runs)
+                write_planes_routed(A, runs, outp)
 
             # Syndrome on the routed VN->CN messages (kernels_template.cl:292).
-            unsat = jnp.zeros((Bt,), jnp.int32)
-            for off_, n, d in cn_groups:
-                parity = (A[off_ : off_ + n] < thresh).astype(jnp.int32)
-                for j in range(1, d):
-                    parity = parity ^ (
-                        A[off_ + j * n : off_ + (j + 1) * n] < thresh
-                    ).astype(jnp.int32)
-                unsat = unsat + jnp.sum(parity, axis=0, dtype=jnp.int32)
+            if want_syndrome:
+                unsat = jnp.zeros((Bt,), jnp.int32)
+                for off_, n, d in cn_groups:
+                    parity = (A[off_ : off_ + n] < thresh).astype(jnp.int32)
+                    for j in range(1, d):
+                        parity = parity ^ (
+                            A[off_ + j * n : off_ + (j + 1) * n] < thresh
+                        ).astype(jnp.int32)
+                    unsat = unsat + jnp.sum(parity, axis=0, dtype=jnp.int32)
+            else:
+                unsat = jnp.ones((Bt,), jnp.int32)
 
             # CN update at DE iteration i+1 (the kernel's iteration+1 offset,
-            # kernels_template.cl:199-200), in place on the CN view.
+            # kernels_template.cl:199-200), routed into the VN view.
             cn_rest_i = cn_rest_ref[i]
             match_cn_i = match_cn_ref[i + 1] if has_match else None
-            for off_, n, d in cn_groups:
+            for runs, (off_, n, d) in zip(cn_scatter, cn_groups):
                 planes = read_planes(A, off_, n, d)
                 outp = cn_lut_leave_one_out(
                     planes,
@@ -307,8 +346,7 @@ def _build_kernel(
                 if has_match:
                     row = match_cn_i[d - 1]
                     outp = [vector_lookup_words(row, p, fb) for p in outp]
-                write_planes(A, off_, n, outp)
-            copy_runs(B, A, to_vn_runs)
+                write_planes_routed(B, runs, outp)
             return unsat
 
         unsat0 = jnp.ones((Bt,), jnp.int32)
@@ -324,13 +362,21 @@ def _build_kernel(
 
             def step(c):
                 i, unsat = c
-                return i + 1, loop_body(i, unsat)
+                return i + 1, loop_body(i, want_syndrome=True)
 
             iters, unsat = jax.lax.while_loop(
                 cond, step, (jnp.int32(0), unsat0)
             )
         else:
-            unsat = jax.lax.fori_loop(0, imax - 1, loop_body, unsat0)
+            # Fixed iterations: the syndrome is only observable after the
+            # last in-loop iteration — skip it in all earlier ones.
+            jax.lax.fori_loop(
+                0,
+                imax - 2,
+                lambda i, c: (loop_body(i, want_syndrome=False), c)[1],
+                0,
+            )
+            unsat = loop_body(imax - 2, want_syndrome=True)
             iters = jnp.int32(imax - 1)
 
         # --- Decision mapping with iteration-``iters`` VN tables
