@@ -153,15 +153,32 @@ def quantize_llr_with(
     return _float_table_select(llrs, quantize_with(limits, y))
 
 
+def sample_clusters_from_uniform(
+    cdf: jnp.ndarray, u: jnp.ndarray, bits: jnp.ndarray
+) -> jnp.ndarray:
+    """Inversion sampling t ~ p(t | x=bit) from pre-drawn uniforms, mirroring
+    for bit 1 (quantize_direct, AWGN_Quantizer_BPSK.py:126-143). Taking ``u``
+    as an argument lets callers derive it from per-codeword RNG keys so Monte
+    Carlo counters are independent of batch sharding."""
+    cardinality_t = cdf.shape[0] - 1
+    t = _threshold_count(cdf[1:-1], u)
+    return jnp.where(bits.astype(bool), cardinality_t - 1 - t, t)
+
+
 def sample_clusters_with(
     cdf: jnp.ndarray, key: jax.Array, bits: jnp.ndarray
 ) -> jnp.ndarray:
     """Draw t ~ p(t | x=bit) by inversion, mirroring for bit 1
     (quantize_direct, AWGN_Quantizer_BPSK.py:126-143)."""
-    cardinality_t = cdf.shape[0] - 1
     u = jax.random.uniform(key, bits.shape, dtype=jnp.float32)
-    t = _threshold_count(cdf[1:-1], u)
-    return jnp.where(bits.astype(bool), cardinality_t - 1 - t, t)
+    return sample_clusters_from_uniform(cdf, u, bits)
+
+
+def sample_llrs_from_uniform(
+    cdf: jnp.ndarray, llrs: jnp.ndarray, u: jnp.ndarray, bits: jnp.ndarray
+) -> jnp.ndarray:
+    """LLR of inversion-sampled clusters from pre-drawn uniforms."""
+    return _float_table_select(llrs, sample_clusters_from_uniform(cdf, u, bits))
 
 
 def sample_llrs_with(

@@ -10,6 +10,8 @@ from .ensembles import (
 )
 from .wlan import wlan_80211n_parity_check
 from .dvbs2 import (
+    DVBS2_R12_N64800_TABLE,
+    dvbs2_parity_check,
     dvbs2_like_parity_check,
     dvbs2_address_table_parity_check,
     dvbs2_layout_node_keys,
@@ -28,6 +30,8 @@ __all__ = [
     "node_to_edge_distribution",
     "code_rate_from_distributions",
     "wlan_80211n_parity_check",
+    "DVBS2_R12_N64800_TABLE",
+    "dvbs2_parity_check",
     "dvbs2_like_parity_check",
     "dvbs2_address_table_parity_check",
     "dvbs2_layout_node_keys",

@@ -456,7 +456,11 @@ def _build_kernel(
         )(ch, *table_arrays)
         out = out[:, :batch]
         unsat = unsat[0, :batch]
-        iters = jnp.max(iters[0, :batch])
+        # Per-codeword iteration counts (each tile stamps its exit iteration
+        # on its columns): report the batch mean so the engine's
+        # ``mean_iterations`` is a true per-codeword average, not a max over
+        # tiles.
+        iters = jnp.mean(iters[0, :batch].astype(jnp.float32))
         return DecodeResult(outputs=out, iterations=iters, unsatisfied=unsat)
 
     return jax.jit(run)

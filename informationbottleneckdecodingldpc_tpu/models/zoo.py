@@ -22,7 +22,7 @@ import numpy as np
 
 from ..codes import (
     dvbs2_layout_node_keys,
-    dvbs2_like_parity_check,
+    dvbs2_parity_check,
     regular_qc_parity_check,
     wlan_80211n_parity_check,
 )
@@ -123,7 +123,7 @@ MODELS: dict[str, ModelSpec] = {
     ),
     "dvbs2-64800": ModelSpec(
         name="dvbs2-64800",
-        make_h=lambda: dvbs2_like_parity_check(64800, 32400, seed=302307),
+        make_h=lambda: dvbs2_parity_check("1/2", 64800),
         layout_keys=lambda: dvbs2_layout_node_keys(64800, 32400),
         irregular=True,
         cardinality_t_channel=16,

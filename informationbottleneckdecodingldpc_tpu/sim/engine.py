@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..channel.awgn import awgn_transmit, sigma2_from_ebn0_db
+from ..channel.awgn import sigma2_from_ebn0_db
 from ..channel.modulation import bpsk_map
 from ..channel.quantizer import (
     DeviceQuantizerTables,
@@ -39,8 +39,8 @@ from ..channel.quantizer import (
     device_tables,
     quantize_llr_with,
     quantize_with,
-    sample_clusters_with,
-    sample_llrs_with,
+    sample_clusters_from_uniform,
+    sample_llrs_from_uniform,
 )
 from ..decode.bp import belief_propagation_decode
 from ..decode.graph_arrays import DecodeLayout
@@ -209,26 +209,54 @@ class BERSimulator:
         errors = jnp.sum(wrong, axis=0, dtype=jnp.int32)  # per codeword
         return errors
 
-    def _step_body(self, key, qt: DeviceQuantizerTables, sigma2, convergence_reduce):
+    def _step_body(
+        self, key, shard_offset, qt: DeviceQuantizerTables, sigma2, convergence_reduce
+    ):
+        """One Monte-Carlo block on this shard.
+
+        All randomness is derived from per-*codeword* keys
+        ``fold_in(step_key, global_codeword_index)``, so the accumulated
+        counters depend only on (seed, step, batch_total) — bitwise identical
+        for every mesh shape / batch_per_device split of the same global
+        batch (SURVEY.md §4.5 invariance requirement)."""
         n_vars = self.layout.n_vars
         batch = self.batch_per_device
-        k_bits, k_noise, k_quant = jax.random.split(key, 3)
+        idx = shard_offset + jnp.arange(batch, dtype=jnp.uint32)
+        cw_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(idx)
+        ks = jax.vmap(lambda k: jax.random.split(k, 3))(cw_keys)  # (batch, 3, ..)
+        k_bits, k_noise, k_quant = ks[:, 0], ks[:, 1], ks[:, 2]
+
+        def uniform_plane(keys):  # (n_vars, batch), column j from keys[j]
+            return jax.vmap(
+                lambda k: jax.random.uniform(k, (n_vars,), dtype=jnp.float32),
+                out_axes=1,
+            )(keys)
+
+        def normal_plane(keys):
+            return jax.vmap(
+                lambda k: jax.random.normal(k, (n_vars,), dtype=jnp.float32),
+                out_axes=1,
+            )(keys)
 
         if self.chain == "allzero":
             bits = jnp.zeros((n_vars, batch), dtype=jnp.int32)
             if self.decoder == "ib":
-                channel_input = sample_clusters_with(qt.cdf, k_quant, bits)
+                u = uniform_plane(k_quant)
+                channel_input = sample_clusters_from_uniform(qt.cdf, u, bits)
             elif self.llr_source == "quantized":
-                channel_input = sample_llrs_with(qt.cdf, qt.llrs, k_quant, bits)
+                u = uniform_plane(k_quant)
+                channel_input = sample_llrs_from_uniform(qt.cdf, qt.llrs, u, bits)
             else:
-                y = awgn_transmit(k_noise, bpsk_map(bits), sigma2)
+                y = bpsk_map(bits) + jnp.sqrt(sigma2) * normal_plane(k_noise)
                 channel_input = 2.0 * y / sigma2
             ref_bits = bits
         else:
             k = self.layout.data_len
-            info = jax.random.bernoulli(k_bits, 0.5, (k, batch)).astype(jnp.int8)
+            info = jax.vmap(
+                lambda kk: jax.random.bernoulli(kk, 0.5, (k,)), out_axes=1
+            )(k_bits).astype(jnp.int8)
             codeword = self._encode_device(info)
-            y = awgn_transmit(k_noise, bpsk_map(codeword), sigma2)
+            y = bpsk_map(codeword) + jnp.sqrt(sigma2) * normal_plane(k_noise)
             if self.decoder == "ib":
                 channel_input = quantize_with(qt.limits, y)
             elif self.llr_source == "quantized":
@@ -250,7 +278,7 @@ class BERSimulator:
         if self.mesh is None:
             @jax.jit
             def step(key, qt, sigma2):
-                return self._step_body(key, qt, sigma2, None)
+                return self._step_body(key, 0, qt, sigma2, None)
 
             return step
 
@@ -258,9 +286,14 @@ class BERSimulator:
         from jax import shard_map
 
         reduce = psum_convergence_reduce(DATA_AXIS)
+        per_device = self.batch_per_device
 
-        def shard_body(keys, qt, sigma2):
-            err, ferr, iters = self._step_body(keys[0], qt, sigma2, reduce)
+        def shard_body(key, qt, sigma2):
+            # The step key is replicated; each shard derives its global
+            # codeword offset from its mesh position, so per-codeword keys —
+            # and therefore the counters — are mesh-shape-invariant.
+            offset = jax.lax.axis_index(DATA_AXIS).astype(jnp.uint32) * per_device
+            err, ferr, iters = self._step_body(key, offset, qt, sigma2, reduce)
             # psum makes all three provably replicated across shards (the
             # early-exit while_loop already runs in lockstep via the psum'd
             # convergence test).
@@ -273,7 +306,7 @@ class BERSimulator:
         sharded = shard_map(
             shard_body,
             mesh=self.mesh,
-            in_specs=(P(DATA_AXIS), P(), P()),
+            in_specs=(P(), P(), P()),
             out_specs=(P(), P(), P()),
         )
         return jax.jit(sharded)
@@ -317,11 +350,7 @@ class BERSimulator:
         start = time.time()
         while state.errors < min_errors and state.blocks < max_blocks:
             key = jax.random.fold_in(root, state.step_index)
-            if self.mesh is not None:
-                keys = jax.random.split(key, self.n_devices)
-            else:
-                keys = key
-            err, ferr, iters = self._step(keys, qt, sigma2)
+            err, ferr, iters = self._step(key, qt, sigma2)
             state.errors += int(err)
             state.frame_errors += int(ferr)
             state.blocks += self.batch_total

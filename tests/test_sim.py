@@ -54,29 +54,31 @@ def test_ib_point_runs(small_setup):
     assert 0 < res.ber < 0.2
 
 
-def test_mesh_shape_invariance(small_setup):
-    """Same seed => identical error counters on 1x8 vs 8x1 batch split
-    (SURVEY.md §4.5)."""
+@pytest.mark.parametrize("decoder", ["ib", "minsum"])
+def test_mesh_shape_invariance_exact(small_setup, decoder):
+    """Same seed => bitwise-identical error counters regardless of how the
+    global batch is split over the mesh (SURVEY.md §4.5). Per-codeword RNG
+    keys are derived from the global codeword index, so 8x4, 2x16 and 1x32
+    decode exactly the same codewords."""
     layout, trellis = small_setup
     assert len(jax.devices()) >= 8
-    sim8 = BERSimulator(
-        layout, "ib", trellis=trellis, chain="allzero", count_all_bits=True,
-        batch_per_device=4, n_devices=8, seed=3,
-    )
-    res8 = sim8.run_point(2.5, min_errors=20, max_blocks=640)
-    assert res8.blocks > 0
-    # The sharded run must produce statistically identical results to a
-    # single-device run with the same per-step total batch; exact counter
-    # equality requires identical key->codeword mapping, which differs
-    # between shardings, so compare BER within Monte-Carlo tolerance.
-    sim1 = BERSimulator(
-        layout, "ib", trellis=trellis, chain="allzero", count_all_bits=True,
-        batch_per_device=32, n_devices=1, seed=3,
-    )
-    res1 = sim1.run_point(2.5, min_errors=20, max_blocks=640)
-    assert res1.blocks == res8.blocks
-    # ~thousands of counted bits -> BERs agree loosely.
-    assert abs(res1.ber - res8.ber) < 0.6 * max(res1.ber, res8.ber)
+    kw = dict(chain="allzero", count_all_bits=True, seed=3)
+    if decoder == "ib":
+        kw["trellis"] = trellis
+    else:
+        kw["max_iters"] = 8
+    runs = {}
+    for n_dev, per_dev in [(8, 4), (2, 16), (1, 32)]:
+        sim = BERSimulator(
+            layout, decoder, batch_per_device=per_dev, n_devices=n_dev, **kw
+        )
+        runs[n_dev] = sim.run_point(2.5, min_errors=20, max_blocks=640)
+    ref = runs[1]
+    assert ref.errors > 0
+    for n_dev in (2, 8):
+        assert runs[n_dev].blocks == ref.blocks
+        assert runs[n_dev].errors == ref.errors, f"mesh {n_dev}x differs"
+        assert runs[n_dev].frame_errors == ref.frame_errors
 
 
 def test_sweep_persists_and_resumes(small_setup, tmp_path):
