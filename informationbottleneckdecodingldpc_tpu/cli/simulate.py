@@ -35,6 +35,8 @@ def main(argv=None):
     p.add_argument("--step-db", type=float, default=0.1)
     p.add_argument("--target-ber", type=float, default=1e-6)
     p.add_argument("--min-errors", type=int, default=None)
+    p.add_argument("--max-blocks-per-point", type=int, default=None,
+                   help="cap Monte-Carlo blocks per SNR point")
     p.add_argument("--max-iters", type=int, default=None)
     p.add_argument("--batch-per-device", type=int, default=None)
     p.add_argument("--n-devices", type=int, default=None,
@@ -85,6 +87,11 @@ def main(argv=None):
         max_db=args.max_db if args.max_db is not None else spec.sweep_max_db,
         target_ber=args.target_ber,
         min_errors=args.min_errors or spec.min_errors,
+        **(
+            {"max_blocks_per_point": args.max_blocks_per_point}
+            if args.max_blocks_per_point
+            else {}
+        ),
     )
     from ..utils.profiling import device_trace
 

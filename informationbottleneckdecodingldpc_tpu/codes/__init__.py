@@ -15,6 +15,7 @@ from .dvbs2 import (
     dvbs2_like_parity_check,
     dvbs2_address_table_parity_check,
     dvbs2_layout_node_keys,
+    dvbs2_layout_edge_keys,
 )
 from .random_codes import regular_parity_check, regular_qc_parity_check
 
@@ -35,6 +36,7 @@ __all__ = [
     "dvbs2_like_parity_check",
     "dvbs2_address_table_parity_check",
     "dvbs2_layout_node_keys",
+    "dvbs2_layout_edge_keys",
     "regular_parity_check",
     "regular_qc_parity_check",
 ]

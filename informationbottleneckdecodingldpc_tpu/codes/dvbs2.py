@@ -259,6 +259,43 @@ def dvbs2_like_parity_check(
     return dvbs2_address_table_parity_check(table, n_ldpc, k_ldpc)
 
 
+def dvbs2_layout_edge_keys(
+    H: sp.spmatrix, k_ldpc: int, group: int | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-edge inbox-slot sort keys for q-group IRA codes.
+
+    Every check row in residue class ``c = r mod q`` receives its information
+    edges from the *same* set of address entries ``{x : x ≡ c (mod q)}``, so
+    sorting each row's inbox by the recovered address
+    ``x = (r - (col mod G)·q) mod (N-K)`` gives all rows of a class an
+    identical slot-to-address-block assignment — which turns each plane of
+    the class-major slot-major layout into whole contiguous runs of the
+    CN<->VN permutation. Parity (staircase) edges sort after, subdiagonal
+    before diagonal. Returns (csr_key, csc_key) for
+    DecodeLayout.from_graph(cn_edge_key=, vn_edge_key=).
+    """
+    Hr = sp.csr_matrix(H)
+    m, n = Hr.shape
+    G = group or group_size(k_ldpc, m)
+    q = m // G
+    rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(Hr.indptr))
+    cols = Hr.indices.astype(np.int64)
+    csr_key = np.where(
+        cols < k_ldpc,
+        (rows - (cols % G) * q) % m,
+        m + (cols - k_ldpc - rows) + 1,  # subdiag -> m, diag -> m+1
+    )
+    Hc = sp.csc_matrix(Hr)
+    rows_c = Hc.indices.astype(np.int64)
+    cols_c = np.repeat(np.arange(n, dtype=np.int64), np.diff(Hc.indptr))
+    csc_key = np.where(
+        cols_c < k_ldpc,
+        (rows_c - (cols_c % G) * q) % m,
+        m + (rows_c - (cols_c - k_ldpc)),  # diag -> m, subdiag -> m+1
+    )
+    return csr_key, csc_key
+
+
 def dvbs2_layout_node_keys(n_ldpc: int, k_ldpc: int) -> tuple[np.ndarray, np.ndarray]:
     """Decode-layout node orderings that turn the CN<->VN edge permutation
     into ~360-long contiguous runs.

@@ -87,9 +87,12 @@ class TannerGraph:
 
     @property
     def data_len(self) -> int:
-        """Number of systematic bits, int(R_c * N) as in the reference
-        (discrete_LDPC_decoder_irreg.py:59)."""
-        return int(self.code_rate * self.n_vars)
+        """Number of systematic bits, exactly N - M. The reference computes
+        ``int(R_c * N)`` from float-normalized degree distributions
+        (discrete_LDPC_decoder_irreg.py:59), which floors to N - M - 1 for the
+        DVB-S2 profile (R_c rounds below 0.5); we use the exact value so the
+        counted prefix matches the encoder's systematic length."""
+        return self.n_vars - self.n_checks
 
     @classmethod
     def from_check_matrix(cls, H: sp.spmatrix) -> "TannerGraph":

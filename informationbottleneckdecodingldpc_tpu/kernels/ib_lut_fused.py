@@ -156,7 +156,7 @@ def fused_supported(layout: DecodeLayout, batch_tile: int = 128) -> bool:
     )
     scratch = 2 * (layout.n_edges + layout.n_vars) * batch_tile * 4
     return (
-        all(p.use_runs for p in plans)
+        all(p.use_runs and p.all_unit_stride for p in plans)
         and sum(p.num_runs for p in plans) <= MAX_TOTAL_RUNS
         and scratch <= VMEM_SCRATCH_BUDGET
     )

@@ -21,6 +21,7 @@ import scipy.sparse as sp
 import numpy as np
 
 from ..codes import (
+    dvbs2_layout_edge_keys,
     dvbs2_layout_node_keys,
     dvbs2_parity_check,
     regular_qc_parity_check,
@@ -49,15 +50,26 @@ class ModelSpec:
     d_c: int | None = None
     # Optional decode-layout node-order keys (structured routing).
     layout_keys: Callable[[], tuple] | None = None
+    # Optional per-edge inbox-slot sort keys (H -> (csr_key, csc_key)).
+    layout_edge_keys: Callable[[sp.csr_matrix], tuple] | None = None
 
-    def make_layout(self):
+    def make_layout(self, H: sp.csr_matrix | None = None):
         """TannerGraph + DecodeLayout with this model's structured ordering."""
         from ..codes.graph import TannerGraph
         from ..decode.graph_arrays import DecodeLayout
 
-        g = TannerGraph.from_check_matrix(self.make_h())
+        if H is None:
+            H = self.make_h()
+        g = TannerGraph.from_check_matrix(H)
         keys = self.layout_keys() if self.layout_keys else (None, None)
-        return DecodeLayout.from_graph(g, cn_node_key=keys[0], vn_node_key=keys[1])
+        ekeys = self.layout_edge_keys(H) if self.layout_edge_keys else (None, None)
+        return DecodeLayout.from_graph(
+            g,
+            cn_node_key=keys[0],
+            vn_node_key=keys[1],
+            cn_edge_key=ekeys[0],
+            vn_edge_key=ekeys[1],
+        )
 
 
 MODELS: dict[str, ModelSpec] = {
@@ -125,6 +137,7 @@ MODELS: dict[str, ModelSpec] = {
         name="dvbs2-64800",
         make_h=lambda: dvbs2_parity_check("1/2", 64800),
         layout_keys=lambda: dvbs2_layout_node_keys(64800, 32400),
+        layout_edge_keys=lambda H: dvbs2_layout_edge_keys(H, 32400),
         irregular=True,
         cardinality_t_channel=16,
         cardinality_t_decoder=16,

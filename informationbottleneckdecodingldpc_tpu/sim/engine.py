@@ -308,6 +308,10 @@ class BERSimulator:
             mesh=self.mesh,
             in_specs=(P(), P(), P()),
             out_specs=(P(), P(), P()),
+            # Pallas calls (the fused kernel) don't annotate varying-across-
+            # mesh axes on their out_shapes; all outputs here are psum'd to
+            # replicated explicitly.
+            check_vma=False,
         )
         return jax.jit(sharded)
 

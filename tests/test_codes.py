@@ -129,3 +129,32 @@ def test_tanner_graph_permutations(rng):
                 grp.edge_slots[i],
                 np.arange(g.cn_start[c], g.cn_start[c] + grp.degree),
             )
+
+
+def test_dvbs2_standard_matrix_structure():
+    """ETSI EN 302 307-1 Annex B Table B.3 (rate 1/2, N=64800): structural
+    invariants of the standard table and its q-group expansion."""
+    from collections import Counter
+
+    import scipy.sparse as sp
+
+    from informationbottleneckdecodingldpc_tpu.codes import (
+        DVBS2_R12_N64800_TABLE,
+        dvbs2_parity_check,
+    )
+
+    sizes = [len(r) for r in DVBS2_R12_N64800_TABLE]
+    assert sizes.count(8) == 36 and sizes.count(3) == 54
+    flat = [a for r in DVBS2_R12_N64800_TABLE for a in r]
+    assert len(flat) == 450 and 0 <= min(flat) and max(flat) < 32400
+    # Every residue class mod q=90 carries exactly 5 addresses => every
+    # parity check has A-degree exactly 5 (7 after the staircase).
+    assert set(Counter(a % 90 for a in flat).values()) == {5}
+    H = dvbs2_parity_check("1/2", 64800)
+    assert H.shape == (32400, 64800)
+    vd = Counter(np.asarray(H.sum(axis=0)).ravel().tolist())
+    cd = Counter(np.asarray(H.sum(axis=1)).ravel().tolist())
+    # The degree profile the reference designs for
+    # (DVB-S2/decoder_config_generation.py:31-34).
+    assert vd == {8: 12960, 3: 19440, 2: 32399, 1: 1}
+    assert cd == {7: 32399, 6: 1}

@@ -171,3 +171,31 @@ def test_midpoint_checkpoint_resume_exact(small_setup, tmp_path):
     assert resumed.errors == full.errors
     assert resumed.blocks == full.blocks
     assert resumed.frame_errors == full.frame_errors
+
+
+def test_fused_backend_under_shard_map():
+    """The flagship multi-chip configuration: fused Pallas kernel (interpret
+    mode off-TPU) inside shard_map over an 8-device mesh. Counters must match
+    the XLA backend exactly (early_exit off => bit-exact decode)."""
+    from informationbottleneckdecodingldpc_tpu.codes import regular_qc_parity_check
+    from informationbottleneckdecodingldpc_tpu.construct import build_decoder_config
+
+    assert len(jax.devices()) >= 8
+    H = regular_qc_parity_check(96, 3, 6, seed=7)
+    layout = DecodeLayout.from_graph(TannerGraph.from_check_matrix(H))
+    cfg = build_decoder_config(
+        design_ebn0_db=2.0, cardinality_y_channel=400, cardinality_t_channel=16,
+        cardinality_t_decoder=16, i_max=4, d_v=3, d_c=6,
+    )
+    trellis = DeviceTrellis.from_tables(cfg.tables)
+    mk = lambda backend: BERSimulator(
+        layout, "ib", trellis=trellis, chain="allzero", count_all_bits=True,
+        batch_per_device=8, n_devices=8, seed=5, backend=backend,
+        early_exit=False,
+    )
+    sim_fused = mk("fused")
+    assert sim_fused._fused_decoder is not None
+    r_fused = sim_fused.run_point(2.0, min_errors=1, max_blocks=64)
+    r_xla = mk("xla").run_point(2.0, min_errors=1, max_blocks=64)
+    assert r_fused.errors == r_xla.errors
+    assert r_fused.frame_errors == r_xla.frame_errors
