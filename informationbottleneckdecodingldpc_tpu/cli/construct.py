@@ -26,6 +26,10 @@ def main(argv=None):
     p.add_argument("--cardinality-t", type=int, default=None)
     p.add_argument("--no-match", action="store_true", help="disable message alignment")
     p.add_argument("--output", required=True)
+    p.add_argument("--export-exit-chart", default=None,
+                   help="write the DE MI-trajectory (EXIT-style) plot "
+                        "(png/pdf), like the reference's "
+                        "decoder_config_generation.py:42-61")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
 
@@ -50,6 +54,8 @@ def main(argv=None):
 
     cfg = build_decoder_config(**kwargs)
     cfg.save(args.output)
+    if args.export_exit_chart:
+        cfg.export_exit_chart(args.export_exit_chart, label=args.model)
     print(
         f"saved {args.output}: design {ebn0} dB, |T|={t}, i_max={i_max}, "
         f"final decision MI={cfg.mi_trajectory[-1]:.6f}"

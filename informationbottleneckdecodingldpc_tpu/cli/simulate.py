@@ -39,6 +39,9 @@ def main(argv=None):
                    help="cap Monte-Carlo blocks per SNR point")
     p.add_argument("--max-iters", type=int, default=None)
     p.add_argument("--batch-per-device", type=int, default=None)
+    p.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="Monte-Carlo steps scanned per device dispatch "
+                        "(amortizes dispatch latency; counters unchanged)")
     p.add_argument("--n-devices", type=int, default=None,
                    help="default: all visible devices")
     p.add_argument("--no-early-exit", action="store_true")
@@ -49,7 +52,28 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--trace-dir", default=None,
                    help="write a jax.profiler trace (TensorBoard/XProf)")
+    p.add_argument("--multihost", action="store_true",
+                   help="join the multi-process JAX runtime before building "
+                        "the mesh (jax.distributed.initialize; topology from "
+                        "the cluster env or the flags below)")
+    p.add_argument("--coordinator-address", default=None)
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     args = p.parse_args(argv)
+
+    results_path = args.results
+    if args.multihost:
+        from ..parallel.mesh import initialize_multihost
+
+        proc, nprocs = initialize_multihost(
+            args.coordinator_address, args.num_processes, args.process_id
+        )
+        print(f"multihost: process {proc}/{nprocs}", flush=True)
+        if proc != 0:
+            # Counters are replicated by psum; only process 0 persists.
+            import tempfile
+
+            results_path = tempfile.mktemp(suffix=".json")
 
     spec = get_model(args.model)
     H = spec.make_h()
@@ -80,6 +104,7 @@ def main(argv=None):
         early_exit=not args.no_early_exit,
         encoder=encoder,
         seed=args.seed,
+        steps_per_dispatch=args.steps_per_dispatch,
     )
     sched = SweepSchedule(
         start_db=args.start_db,
@@ -96,7 +121,7 @@ def main(argv=None):
     from ..utils.profiling import device_trace
 
     with device_trace(args.trace_dir):
-        results = SweepController(sim, sched, results_path=args.results).run()
+        results = SweepController(sim, sched, results_path=results_path).run()
     if args.export_npz:
         export_npz(args.export_npz, results)
     if args.export_mat:

@@ -41,6 +41,10 @@ class DecoderConfig:
     lambda_vec: np.ndarray | None  # edge-perspective VN degree distribution
     rho_vec: np.ndarray | None
     mi_trajectory: np.ndarray  # decision-mapping I(X;T) per iteration
+    # Full DE diagnostics (ext_mi_* trajectories, MI gain matrix, matching
+    # costs for irregular codes) — the reference persists/plots these
+    # (Discrete_Density_Evolution.py:273-286, decoder_config_generation.py:45-61).
+    diagnostics: dict = dataclasses.field(default_factory=dict)
 
     @property
     def is_irregular(self) -> bool:
@@ -73,6 +77,8 @@ class DecoderConfig:
         if self.lambda_vec is not None:
             arrays["lambda_vec"] = self.lambda_vec
             arrays["rho_vec"] = self.rho_vec
+        for k, v in self.diagnostics.items():
+            arrays[f"diag_{k}"] = np.asarray(v)
         np.savez_compressed(path, **arrays)
 
     @classmethod
@@ -102,7 +108,44 @@ class DecoderConfig:
             lambda_vec=z["lambda_vec"] if "lambda_vec" in z else None,
             rho_vec=z["rho_vec"] if "rho_vec" in z else None,
             mi_trajectory=z["mi_trajectory"],
+            diagnostics={
+                k[len("diag_"):]: z[k] for k in z.files if k.startswith("diag_")
+            },
         )
+
+    def export_exit_chart(self, path: str, label: str = "") -> None:
+        """EXIT-style MI trajectory chart (the reference's construction plot,
+        Regular_LDPC_Decoding/BPSK/decoder_config_generation.py:42-61):
+        staircase of (I at check-node input, I at variable-node input)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        mi_cn = np.asarray(self.diagnostics["ext_mi_checknode_in"])
+        mi_vn = np.asarray(self.diagnostics["ext_mi_varnode_in"])
+        i_max = mi_cn.shape[0]
+        x = np.zeros(2 * i_max - 1)
+        y = np.zeros(2 * i_max - 1)
+        y[0] = mi_vn[0]
+        for i in range(1, i_max):
+            x[2 * i - 1] = mi_cn[i - 1]
+            y[2 * i - 1] = y[2 * i - 2]
+            x[2 * i] = x[2 * i - 1]
+            y[2 * i] = mi_vn[i]
+        fig, ax = plt.subplots(figsize=(5, 4))
+        ax.plot(x, y, drawstyle="default",
+                label=label or f"{self.design_ebn0_db} dB")
+        ax.plot(self.mi_trajectory, linestyle="--", alpha=0.6,
+                label="decision I(X;T)")
+        ax.set_xlabel("I at check-node input")
+        ax.set_ylabel("I at variable-node input")
+        ax.set_title("Discrete DE MI trajectory")
+        ax.legend()
+        ax.grid(alpha=0.3)
+        fig.tight_layout()
+        fig.savefig(path, dpi=150)
+        plt.close(fig)
 
 
 def build_decoder_config(
@@ -175,4 +218,7 @@ def build_decoder_config(
         lambda_vec=lambda_vec,
         rho_vec=rho_vec,
         mi_trajectory=diag.mi_decision,
+        diagnostics={
+            k: np.asarray(v) for k, v in dataclasses.asdict(diag).items()
+        },
     )

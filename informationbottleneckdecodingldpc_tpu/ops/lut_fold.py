@@ -37,6 +37,34 @@ import jax.numpy as jnp
 
 _FORCE_MODE: str | None = None  # test hook: 'take' | 'select' | 'packed' | None
 
+# Optional VPU element-op counter (roofline accounting, bench.py): when set
+# to a dict, the packed-lookup primitives add their exact per-element op
+# counts (compare / select / shift-mask) during tracing. Shapes are static,
+# so tracing once (jax.eval_shape) yields the precise op count per call.
+_OP_COUNTS: dict | None = None
+
+
+class counting_ops:
+    """Context manager: collect exact VPU element-op counts of every packed
+    lookup traced inside. Usage: ``with counting_ops() as c: jax.eval_shape(...)``."""
+
+    def __enter__(self):
+        global _OP_COUNTS
+        self._prev = _OP_COUNTS
+        _OP_COUNTS = {"cmp": 0, "sel": 0, "bit": 0}
+        return _OP_COUNTS
+
+    def __exit__(self, *exc):
+        global _OP_COUNTS
+        _OP_COUNTS = self._prev
+        return False
+
+
+def _numel(x) -> int:
+    import numpy as np
+
+    return int(np.prod(x.shape)) if hasattr(x, "shape") else 1
+
 
 @dataclasses.dataclass
 class PackedLut:
@@ -117,6 +145,8 @@ def vector_lookup_words(
     words: jnp.ndarray, idx: jnp.ndarray, fb: int
 ) -> jnp.ndarray:
     """out = row[idx] where ``words`` is the pre-packed row ([W] int32)."""
+    if _OP_COUNTS is not None:
+        _OP_COUNTS["bit"] += words.shape[0] * _numel(idx)
     cols = [words[w] + jnp.zeros_like(idx) for w in range(words.shape[0])]
     return _extract(cols, idx, fb)
 
@@ -174,6 +204,8 @@ def _pack_lut(lut: jnp.ndarray, field_bits: int) -> jnp.ndarray:
 def _select_columns(packed: jnp.ndarray, b_is: list[jnp.ndarray]) -> list[jnp.ndarray]:
     """Column (over b) of the packed LUT per element: W arrays like b."""
     w, t1 = packed.shape
+    if _OP_COUNTS is not None:
+        _OP_COUNTS["sel"] += w * t1 * _numel(b_is[0])
     cols = []
     for k in range(w):
         acc = jnp.zeros(b_is[0].shape, jnp.int32)
@@ -187,6 +219,13 @@ def _extract(cols: list[jnp.ndarray], a: jnp.ndarray, field_bits: int) -> jnp.nd
     """out = field ``a`` of the packed column: word select + variable shift."""
     per = 32 // field_bits
     shift_bits = per.bit_length() - 1  # per is 8 or 4
+    if _OP_COUNTS is not None:
+        n = _numel(a)
+        # word select: shift + (W-1) compares + (W-1) selects; field
+        # extraction: and + mul + shift + and.
+        _OP_COUNTS["sel"] += (len(cols) - 1) * n
+        _OP_COUNTS["cmp"] += (len(cols) - 1) * n
+        _OP_COUNTS["bit"] += (5 if len(cols) > 1 else 4) * n
     if len(cols) == 1:
         word = cols[0]
     else:
@@ -228,6 +267,8 @@ class _Stepper:
         got = self._b_is.get(op_idx)
         if got is None or len(got) < t1:
             b = self.operands[op_idx]
+            if _OP_COUNTS is not None:
+                _OP_COUNTS["cmp"] += t1 * _numel(b)
             got = [b == j for j in range(t1)]
             self._b_is[op_idx] = got
         return got[:t1]

@@ -20,6 +20,36 @@ from jax.sharding import Mesh, PartitionSpec
 DATA_AXIS = "data"
 
 
+def initialize_multihost(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> tuple[int, int]:
+    """Join the multi-process JAX runtime (SURVEY.md §5 distributed backend).
+
+    Wraps ``jax.distributed.initialize``: with no arguments the coordinator /
+    process topology is taken from the cluster environment (TPU pod metadata,
+    or JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID). After
+    this, ``jax.devices()`` spans every host's chips and :func:`make_mesh`
+    builds a global data-parallel mesh; counters psum over ICI/DCN.
+
+    Returns (process_index, process_count). Idempotent: a second call is a
+    no-op (jax.distributed raises if already initialized).
+    """
+    import jax.distributed
+
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:  # already initialized
+        if "already" not in str(e).lower():
+            raise
+    return jax.process_index(), jax.process_count()
+
+
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     """1-D data-parallel mesh over the first ``n_devices`` devices."""
     if devices is None:

@@ -103,6 +103,7 @@ class BERSimulator:
         encoder=None,
         seed: int = 0,
         backend: str = "auto",  # 'auto' | 'xla' | 'fused' (ib decoder only)
+        steps_per_dispatch: int = 1,
     ):
         if decoder == "ib":
             if trellis is None:
@@ -123,6 +124,13 @@ class BERSimulator:
         self.batch_per_device = int(batch_per_device)
         self.early_exit = bool(early_exit)
         self.seed = int(seed)
+        # Monte-Carlo steps executed per device dispatch (lax.scan): amortizes
+        # per-dispatch host->device latency, which dominates when one block is
+        # small relative to the link (the reference pays the same cost per
+        # block via its per-iteration syndrome readback, SURVEY.md §3.2). The
+        # per-step key stream is fold_in(root, absolute_step), so counters are
+        # independent of this value.
+        self.steps_per_dispatch = max(1, int(steps_per_dispatch))
 
         devices = jax.devices()
         if n_devices is None:
@@ -275,10 +283,29 @@ class BERSimulator:
         )
 
     def _build_step(self):
+        K = self.steps_per_dispatch
+
+        def scanned(step_key_fn, qt, sigma2):
+            """Run K Monte-Carlo steps in one dispatch; sum the counters."""
+            def body(carry, j):
+                e, f, it = step_key_fn(j, qt, sigma2)
+                ce, cf, cit = carry
+                return (ce + e, cf + f, cit + it), None
+
+            init = (jnp.int32(0), jnp.int32(0), jnp.float32(0.0))
+            (e, f, it), _ = jax.lax.scan(
+                body, init, jnp.arange(K, dtype=jnp.uint32)
+            )
+            return e, f, it / K
+
         if self.mesh is None:
             @jax.jit
-            def step(key, qt, sigma2):
-                return self._step_body(key, 0, qt, sigma2, None)
+            def step(root_key, step_index, qt, sigma2):
+                def one(j, qt, sigma2):
+                    key = jax.random.fold_in(root_key, step_index + j)
+                    return self._step_body(key, 0, qt, sigma2, None)
+
+                return scanned(one, qt, sigma2)
 
             return step
 
@@ -288,12 +315,17 @@ class BERSimulator:
         reduce = psum_convergence_reduce(DATA_AXIS)
         per_device = self.batch_per_device
 
-        def shard_body(key, qt, sigma2):
+        def shard_body(root_key, step_index, qt, sigma2):
             # The step key is replicated; each shard derives its global
             # codeword offset from its mesh position, so per-codeword keys —
             # and therefore the counters — are mesh-shape-invariant.
             offset = jax.lax.axis_index(DATA_AXIS).astype(jnp.uint32) * per_device
-            err, ferr, iters = self._step_body(key, offset, qt, sigma2, reduce)
+
+            def one(j, qt, sigma2):
+                key = jax.random.fold_in(root_key, step_index + j)
+                return self._step_body(key, offset, qt, sigma2, reduce)
+
+            err, ferr, iters = scanned(one, qt, sigma2)
             # psum makes all three provably replicated across shards (the
             # early-exit while_loop already runs in lockstep via the psum'd
             # convergence test).
@@ -306,7 +338,7 @@ class BERSimulator:
         sharded = shard_map(
             shard_body,
             mesh=self.mesh,
-            in_specs=(P(), P(), P()),
+            in_specs=(P(), P(), P(), P()),
             out_specs=(P(), P(), P()),
             # Pallas calls (the fused kernel) don't annotate varying-across-
             # mesh axes on their out_shapes; all outputs here are psum'd to
@@ -351,15 +383,18 @@ class BERSimulator:
             ebn0_db=float(ebn0_db), step_index=0, errors=0, frame_errors=0,
             blocks=0, iters_sum=0.0,
         )
+        K = self.steps_per_dispatch
+        blocks_per_dispatch = self.batch_total * K
         start = time.time()
         while state.errors < min_errors and state.blocks < max_blocks:
-            key = jax.random.fold_in(root, state.step_index)
-            err, ferr, iters = self._step(key, qt, sigma2)
+            err, ferr, iters = self._step(
+                root, jnp.uint32(state.step_index), qt, sigma2
+            )
             state.errors += int(err)
             state.frame_errors += int(ferr)
-            state.blocks += self.batch_total
-            state.iters_sum += float(jnp.mean(iters)) * self.batch_total
-            state.step_index += 1
+            state.blocks += blocks_per_dispatch
+            state.iters_sum += float(jnp.mean(iters)) * blocks_per_dispatch
+            state.step_index += K
             if verbose and state.step_index % progress_every == 0:
                 elapsed = time.time() - start
                 ber = state.errors / max(state.blocks * self.prefix_len, 1)

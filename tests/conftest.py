@@ -22,6 +22,13 @@ import jax  # noqa: E402
 # but jax may already have parsed its config from an earlier import.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: repeat suite runs skip CPU re-compiles of the
+# decode/sim graphs (the dominant suite cost after construction fixtures).
+_cache = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache_tests")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

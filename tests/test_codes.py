@@ -158,3 +158,21 @@ def test_dvbs2_standard_matrix_structure():
     # (DVB-S2/decoder_config_generation.py:31-34).
     assert vd == {8: 12960, 3: 19440, 2: 32399, 1: 1}
     assert cd == {7: 32399, 6: 1}
+
+
+def test_mat_matrix_roundtrip(tmp_path):
+    """.mat save/load round-trip (the reference saves WLAN_H.mat,
+    generate_802.11_matrix.py:41-43)."""
+    from informationbottleneckdecodingldpc_tpu.codes import (
+        wlan_80211n_parity_check,
+    )
+    from informationbottleneckdecodingldpc_tpu.codes.io import (
+        load_check_matrix,
+        save_check_matrix,
+    )
+
+    H = wlan_80211n_parity_check()
+    p = str(tmp_path / "H.mat")
+    save_check_matrix(H, p)
+    H2 = load_check_matrix(p)
+    assert (H != H2).nnz == 0

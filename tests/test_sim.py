@@ -199,3 +199,45 @@ def test_fused_backend_under_shard_map():
     r_xla = mk("xla").run_point(2.0, min_errors=1, max_blocks=64)
     assert r_fused.errors == r_xla.errors
     assert r_fused.frame_errors == r_xla.frame_errors
+
+
+def test_multihost_flag_single_process(tmp_path):
+    """--multihost wires jax.distributed.initialize and still produces a
+    result file (1-process cluster on CPU; run in a subprocess because the
+    distributed client is process-global)."""
+    import subprocess, sys, os, json
+
+    res = str(tmp_path / "mh.json")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "-m", "informationbottleneckdecodingldpc_tpu.cli.simulate",
+         "--model", "regular-3-6-504", "--decoder", "minsum", "--chain", "allzero",
+         "--start-db", "3.0", "--max-db", "3.0", "--min-errors", "5",
+         "--max-iters", "4", "--batch-per-device", "8",
+         "--max-blocks-per-point", "64", "--results", res,
+         "--multihost", "--coordinator-address", "localhost:12397",
+         "--num-processes", "1", "--process-id", "0"],
+        capture_output=True, text=True, env=env, timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "multihost: process 0/1" in out.stdout
+    points = json.load(open(res))["points"]
+    assert len(points) == 1 and points[0]["blocks"] > 0
+
+
+def test_steps_per_dispatch_counter_invariance(small_setup):
+    """Scanning K steps per dispatch must accumulate exactly the same
+    counters as K separate dispatches (same fold_in(root, absolute_step)
+    stream)."""
+    layout, trellis = small_setup
+    mk = lambda k: BERSimulator(
+        layout, "ib", trellis=trellis, chain="allzero", count_all_bits=True,
+        batch_per_device=16, n_devices=1, seed=9, steps_per_dispatch=k,
+    )
+    # 128 blocks divides both dispatch sizes (16 and 64), so neither run
+    # overshoots max_blocks.
+    r1 = mk(1).run_point(2.0, min_errors=10**9, max_blocks=128)
+    r4 = mk(4).run_point(2.0, min_errors=10**9, max_blocks=128)
+    assert r1.blocks == r4.blocks == 128
+    assert r1.errors == r4.errors
+    assert r1.frame_errors == r4.frame_errors
