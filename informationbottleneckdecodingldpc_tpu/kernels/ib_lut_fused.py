@@ -138,15 +138,40 @@ class _PackedTables:
         )
 
 
-# Leave headroom under the 128 MB v5e VMEM for fold temporaries, the
-# double-buffered channel/output blocks, and the packed tables.
-VMEM_SCRATCH_BUDGET = 72 * 1024 * 1024
+# Budget for the vmem_estimate model against the 128 MB v5e VMEM (the
+# pallas_call requests a 100 MB scoped limit; the model already counts the
+# fold working set, so the budget matches that limit).
+VMEM_SCRATCH_BUDGET = 100 * 1024 * 1024
 
 
-def fused_supported(layout: DecodeLayout, batch_tile: int = 128) -> bool:
+def vmem_estimate(layout: DecodeLayout, batch_tile: int, t_decoder: int = 16) -> int:
+    """Conservative VMEM footprint model of one grid program (bytes).
+
+    Counts the resident message views + staging scratch, the I/O blocks, and
+    the peak per-group fold working set: the column cache holds W packed-word
+    planes per (LUT, operand) pair (~2·degree pairs live per group) plus the
+    chain states. This is what sizes the batch tile — the N=8000 regular code
+    at tile 128 overflows the chip's 128 MB VMEM through its 8000-row node
+    planes."""
+    W = -(-t_decoder // (32 // _field_bits(t_decoder)))
+    plane = batch_tile * 4
+    scratch = (2 * (layout.n_edges + layout.n_vars) + 2 * layout.n_vars) * plane
+    io = 2 * layout.n_vars * plane
+    group_peak = 0
+    for grps, extra_op in ((layout.cn_groups, 0), (layout.vn_groups, 1)):
+        for g in grps:
+            d = g.degree + extra_op
+            live = (2 * d * W + 2 * d) * g.num_nodes * plane
+            group_peak = max(group_peak, live)
+    return scratch + io + group_peak
+
+
+def fused_supported(
+    layout: DecodeLayout, batch_tile: int = 128, t_decoder: int = 16
+) -> bool:
     """Whether the layout fits the all-resident fused kernel: routing must
     run-decompose tightly enough to unroll, and both message views (plus the
-    per-node staging buffers) must fit the VMEM scratch budget."""
+    per-node staging buffers and fold working set) must fit VMEM."""
     plans = (
         layout.to_vn,
         layout.to_cn,
@@ -154,12 +179,21 @@ def fused_supported(layout: DecodeLayout, batch_tile: int = 128) -> bool:
         layout.vn_gather_plan,
         layout.vn_unperm_plan,
     )
-    scratch = 2 * (layout.n_edges + layout.n_vars) * batch_tile * 4
     return (
         all(p.use_runs and p.all_unit_stride for p in plans)
         and sum(p.num_runs for p in plans) <= MAX_TOTAL_RUNS
-        and scratch <= VMEM_SCRATCH_BUDGET
+        and vmem_estimate(layout, batch_tile, t_decoder) <= VMEM_SCRATCH_BUDGET
     )
+
+
+def pick_batch_tile(
+    layout: DecodeLayout, t_decoder: int = 16, max_tile: int = 128
+) -> int | None:
+    """Largest supported batch tile (lane-friendly sizes), or None."""
+    for bt in (128, 64, 32, 16, 8):
+        if bt <= max_tile and fused_supported(layout, bt, t_decoder):
+            return bt
+    return None
 
 
 class FusedIBDecoder:
@@ -180,7 +214,7 @@ class FusedIBDecoder:
         batch_tile: int = 128,
         interpret: bool | None = None,
     ):
-        if not fused_supported(layout, batch_tile):
+        if not fused_supported(layout, batch_tile, tables.cardinality_t_decoder):
             raise ValueError(
                 "layout does not fit the fused kernel (routing does not "
                 "run-decompose, or message views exceed VMEM); use the XLA path"

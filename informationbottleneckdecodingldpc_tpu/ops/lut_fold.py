@@ -114,8 +114,7 @@ def pairwise_lookup(
     mode = _mode(vmax)
     if mode == "packed":
         packed = _pack_lut(lut, _field_bits(vmax))
-        b_is = [b == j for j in range(lut.shape[1])]
-        cols = _select_columns(packed, b_is)
+        cols = _select_columns(packed, b)
         return _extract(cols, a, _field_bits(vmax))
     if mode == "select":
         return _pairwise_lookup_select(lut, a, b)
@@ -201,17 +200,22 @@ def _pack_lut(lut: jnp.ndarray, field_bits: int) -> jnp.ndarray:
     return jnp.sum(r * weights, axis=1)
 
 
-def _select_columns(packed: jnp.ndarray, b_is: list[jnp.ndarray]) -> list[jnp.ndarray]:
-    """Column (over b) of the packed LUT per element: W arrays like b."""
+def _select_columns(packed: jnp.ndarray, b: jnp.ndarray) -> list[jnp.ndarray]:
+    """Column (over b) of the packed LUT per element: W arrays like b.
+
+    The ``b == j`` compare is computed inside the j-loop and consumed
+    immediately by all W selects, so its live set is ONE plane — a cached
+    list of |T1| compare planes per operand held ~300 MB of VMEM for the
+    N=8000 code's node groups and blew the fused kernel's budget."""
     w, t1 = packed.shape
     if _OP_COUNTS is not None:
-        _OP_COUNTS["sel"] += w * t1 * _numel(b_is[0])
-    cols = []
-    for k in range(w):
-        acc = jnp.zeros(b_is[0].shape, jnp.int32)
-        for j in range(t1):
-            acc = jnp.where(b_is[j], packed[k, j], acc)
-        cols.append(acc)
+        _OP_COUNTS["cmp"] += t1 * _numel(b)
+        _OP_COUNTS["sel"] += w * t1 * _numel(b)
+    cols = [jnp.zeros(b.shape, jnp.int32) for _ in range(w)]
+    for j in range(t1):
+        bj = b == j
+        for k in range(w):
+            cols[k] = jnp.where(bj, packed[k, j], cols[k])
     return cols
 
 
@@ -260,18 +264,7 @@ class _Stepper:
                 self.fb = _field_bits(vmax)
                 self.packed = [_pack_lut(l, self.fb) for l in luts]
                 self._t1s = [l.shape[1] for l in luts]
-            self._b_is: dict[int, list[jnp.ndarray]] = {}
             self._cols: dict[tuple[int, int], list[jnp.ndarray]] = {}
-
-    def _b_compares(self, op_idx: int, t1: int) -> list[jnp.ndarray]:
-        got = self._b_is.get(op_idx)
-        if got is None or len(got) < t1:
-            b = self.operands[op_idx]
-            if _OP_COUNTS is not None:
-                _OP_COUNTS["cmp"] += t1 * _numel(b)
-            got = [b == j for j in range(t1)]
-            self._b_is[op_idx] = got
-        return got[:t1]
 
     def step(self, lut_idx: int, state: jnp.ndarray, op_idx: int) -> jnp.ndarray:
         if self.mode == "packed":
@@ -279,8 +272,7 @@ class _Stepper:
             cols = self._cols.get(key)
             if cols is None:
                 cols = _select_columns(
-                    self.packed[lut_idx],
-                    self._b_compares(op_idx, self._t1s[lut_idx]),
+                    self.packed[lut_idx], self.operands[op_idx]
                 )
                 self._cols[key] = cols
             return _extract(cols, state, self.fb)

@@ -157,10 +157,16 @@ class BERSimulator:
         # fewer wasted iterations; bit-exact when early_exit is off.
         self._fused_decoder = None
         if decoder == "ib" and backend != "xla":
-            from ..kernels.ib_lut_fused import FusedIBDecoder, fused_supported
+            from ..kernels.ib_lut_fused import FusedIBDecoder, pick_batch_tile
 
-            bt = min(128, self.batch_per_device)
-            ok = trellis.host is not None and fused_supported(layout, bt)
+            bt = None
+            if trellis.host is not None:
+                bt = pick_batch_tile(
+                    layout,
+                    trellis.host.cardinality_t_decoder,
+                    min(128, self.batch_per_device),
+                )
+            ok = bt is not None
             if backend == "fused" and not ok:
                 raise ValueError(
                     "backend='fused' requested but the layout/tables do not "
