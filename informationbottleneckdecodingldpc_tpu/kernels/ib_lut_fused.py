@@ -446,48 +446,89 @@ def _build_kernel(
         a.shape, lambda b: (0,) * a.ndim, memory_space=pltpu.VMEM
     )
 
+    scratch = [
+        pltpu.VMEM((n_edges, Bt), jnp.int32),  # A: CN view
+        pltpu.VMEM((n_edges, Bt), jnp.int32),  # B: VN view
+        pltpu.VMEM((n_vars, Bt), jnp.int32),  # CHG
+        pltpu.VMEM((n_vars, Bt), jnp.int32),  # OUTS
+    ]
+    params = pltpu.CompilerParams(
+        # v5e has 128 MB VMEM; the default 16 MB scoped limit is too
+        # small for the resident message views plus fold temporaries.
+        vmem_limit_bytes=100 * 1024 * 1024,
+    )
+
+    def call_tiles(ch):
+        """Grid over batch tiles. Mosaic requires lane-dim blocks divisible
+        by 128 (or equal to the array width), so Bt < 128 runs as a lax.map
+        over Bt-wide chunks (block == array) instead of a Pallas grid."""
+        padded = ch.shape[-1]
+        out_shape = (
+            jax.ShapeDtypeStruct((n_vars, Bt), jnp.int32),
+            jax.ShapeDtypeStruct((1, Bt), jnp.int32),
+            jax.ShapeDtypeStruct((1, Bt), jnp.int32),
+        )
+        if Bt % 128 == 0 or interpret:
+            grid = (padded // Bt,)
+            return pl.pallas_call(
+                kernel,
+                grid=grid,
+                out_shape=(
+                    jax.ShapeDtypeStruct((n_vars, padded), jnp.int32),
+                    jax.ShapeDtypeStruct((1, padded), jnp.int32),
+                    jax.ShapeDtypeStruct((1, padded), jnp.int32),
+                ),
+                in_specs=[
+                    pl.BlockSpec(
+                        (n_vars, Bt), lambda b: (0, b), memory_space=pltpu.VMEM
+                    )
+                ]
+                + [full(a) for a in table_arrays],
+                out_specs=(
+                    pl.BlockSpec(
+                        (n_vars, Bt), lambda b: (0, b), memory_space=pltpu.VMEM
+                    ),
+                    pl.BlockSpec((1, Bt), lambda b: (0, b), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, Bt), lambda b: (0, b), memory_space=pltpu.VMEM),
+                ),
+                scratch_shapes=scratch,
+                compiler_params=params,
+                interpret=interpret,
+            )(ch, *table_arrays)
+
+        single = pl.pallas_call(
+            kernel,
+            grid=(1,),
+            out_shape=out_shape,
+            in_specs=[
+                pl.BlockSpec((n_vars, Bt), lambda b: (0, 0), memory_space=pltpu.VMEM)
+            ]
+            + [full(a) for a in table_arrays],
+            out_specs=(
+                pl.BlockSpec((n_vars, Bt), lambda b: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Bt), lambda b: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Bt), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=scratch,
+            compiler_params=params,
+            interpret=interpret,
+        )
+        chunks = ch.reshape(n_vars, padded // Bt, Bt).transpose(1, 0, 2)
+        out_c, unsat_c, it_c = jax.lax.map(
+            lambda c: single(c, *table_arrays), chunks
+        )
+        out = out_c.transpose(1, 0, 2).reshape(n_vars, padded)
+        unsat = unsat_c.transpose(1, 0, 2).reshape(1, padded)
+        iters = it_c.transpose(1, 0, 2).reshape(1, padded)
+        return out, unsat, iters
+
     def run(channel_clusters):
         batch = channel_clusters.shape[-1]
         pad = (-batch) % Bt
         ch = channel_clusters.astype(jnp.int32)
         if pad:
             ch = jnp.pad(ch, ((0, 0), (0, pad)))
-        padded = batch + pad
-        grid = (padded // Bt,)
-        out, unsat, iters = pl.pallas_call(
-            kernel,
-            grid=grid,
-            out_shape=(
-                jax.ShapeDtypeStruct((n_vars, padded), jnp.int32),
-                jax.ShapeDtypeStruct((1, padded), jnp.int32),
-                jax.ShapeDtypeStruct((1, padded), jnp.int32),
-            ),
-            in_specs=[
-                pl.BlockSpec(
-                    (n_vars, Bt), lambda b: (0, b), memory_space=pltpu.VMEM
-                )
-            ]
-            + [full(a) for a in table_arrays],
-            out_specs=(
-                pl.BlockSpec(
-                    (n_vars, Bt), lambda b: (0, b), memory_space=pltpu.VMEM
-                ),
-                pl.BlockSpec((1, Bt), lambda b: (0, b), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, Bt), lambda b: (0, b), memory_space=pltpu.VMEM),
-            ),
-            scratch_shapes=[
-                pltpu.VMEM((n_edges, Bt), jnp.int32),  # A: CN view
-                pltpu.VMEM((n_edges, Bt), jnp.int32),  # B: VN view
-                pltpu.VMEM((n_vars, Bt), jnp.int32),  # CHG
-                pltpu.VMEM((n_vars, Bt), jnp.int32),  # OUTS
-            ],
-            compiler_params=pltpu.CompilerParams(
-                # v5e has 128 MB VMEM; the default 16 MB scoped limit is too
-                # small for the resident message views plus fold temporaries.
-                vmem_limit_bytes=100 * 1024 * 1024,
-            ),
-            interpret=interpret,
-        )(ch, *table_arrays)
+        out, unsat, iters = call_tiles(ch)
         out = out[:, :batch]
         unsat = unsat[0, :batch]
         # Per-codeword iteration counts (each tile stamps its exit iteration

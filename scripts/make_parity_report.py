@@ -17,7 +17,8 @@ SWEEPS = [
     ("wlan_minsum_enc", "WLAN 802.11n N=1296 — min-sum (16-level LLR), encoded chain"),
     ("regular_ib_allzero", "Regular (3,6) N=8000 — IB LUT |T|=16, all-zeros, i_max=250"),
     ("regular_minsum", "Regular (3,6) N=8000 — min-sum benchmark, i_max=50"),
-    ("dvbs2_ib_enc", "DVB-S2 N=64800 (ETSI matrix) — IB LUT |T|=16, encoded chain, i_max=50"),
+    ("dvbs2_ib_enc", "DVB-S2 N=64800 (ETSI matrix) — IB LUT |T|=16 designed @0.6 dB (reference setting; its DE stalls at MI 0.68 within i_max=50, capping the decoder), encoded chain"),
+    ("dvbs2_ib_enc_d08", "DVB-S2 N=64800 (ETSI matrix) — IB LUT |T|=16 designed @0.8 dB (converged DE, MI 0.957), encoded chain, i_max=50"),
     ("dvbs2_minsum", "DVB-S2 N=64800 (ETSI matrix) — min-sum benchmark, i_max=50"),
 ]
 
