@@ -65,36 +65,79 @@ def _runs(plan: PermutationPlan) -> tuple[tuple[int, int, int], ...]:
     )
 
 
-def _scatter_runs(plan: PermutationPlan, groups):
-    """Per-(group, plane) routed-write decomposition of ``dst = src[perm]``.
+def _scatter_runs(plan: PermutationPlan, groups, chunks_per_group=None):
+    """Per-(group, chunk, plane) routed-write decomposition of
+    ``dst = src[perm]``.
 
-    Returns, for each group and each of its slot planes, static
-    ``(dst_start, src_start_in_plane, len)`` runs such that writing
-    ``dst[d:d+l] = plane[s:s+l]`` for all runs equals routing the plane
-    through the permutation. Lets node updates write their outputs straight
-    into the opposite view (route-on-write), skipping the full-view copy.
+    Returns, for each group, a tuple of node-chunks; each chunk carries
+    ``(start, size)`` plus per-plane static ``(dst_start, src_start_in_chunk,
+    len)`` runs such that writing ``dst[d:d+l] = chunk_plane[s:s+l]`` routes
+    the chunk's slice of the plane through the permutation. Node updates
+    write their outputs straight into the opposite view (route-on-write), and
+    chunking bounds the per-group VMEM working set (the N=8000 code's node
+    planes otherwise spill hundreds of MB of vector registers).
     """
     perm = np.asarray(plan.perm, dtype=np.int64)
     inv = np.empty_like(perm)
     inv[perm] = np.arange(perm.size)
     out = []
-    for g in groups:
+    for gi, g in enumerate(groups):
         n = int(g.num_nodes)
-        planes = []
-        for j in range(int(g.degree)):
-            r0 = int(g.offset) + j * n
-            seg = inv[r0 : r0 + n]
-            breaks = np.nonzero(np.diff(seg) != 1)[0]
-            starts = np.concatenate([[0], breaks + 1]).astype(np.int64)
-            lens = np.diff(np.concatenate([starts, [n]]))
-            planes.append(
-                tuple(
-                    (int(seg[s]), int(s), int(l))
-                    for s, l in zip(starts, lens)
+        n_chunks = 1 if chunks_per_group is None else int(chunks_per_group[gi])
+        bounds = _chunk_bounds(n, n_chunks)
+        chunks = []
+        for c0, cl in bounds:
+            planes = []
+            for j in range(int(g.degree)):
+                r0 = int(g.offset) + j * n + c0
+                seg = inv[r0 : r0 + cl]
+                breaks = np.nonzero(np.diff(seg) != 1)[0]
+                starts = np.concatenate([[0], breaks + 1]).astype(np.int64)
+                lens = np.diff(np.concatenate([starts, [cl]]))
+                planes.append(
+                    tuple(
+                        (int(seg[s]), int(s), int(l))
+                        for s, l in zip(starts, lens)
+                    )
                 )
-            )
-        out.append(tuple(planes))
+            chunks.append((c0, cl, tuple(planes)))
+        out.append(tuple(chunks))
     return tuple(out)
+
+
+def _chunk_bounds(n: int, n_chunks: int) -> list[tuple[int, int]]:
+    """Split n rows into n_chunks pieces, all but the last a multiple of 8."""
+    if n_chunks <= 1:
+        return [(0, n)]
+    base = -(-n // n_chunks)
+    base = -(-base // 8) * 8
+    bounds = []
+    c0 = 0
+    while c0 < n:
+        cl = min(base, n - c0)
+        bounds.append((c0, cl))
+        c0 += cl
+    return bounds
+
+
+# Per-group VMEM working-set budget for the fold (column caches + chain
+# states); groups larger than this stream through node chunks.
+GROUP_VMEM_BUDGET = 20 * 1024 * 1024
+
+
+def _fold_bytes_per_node(degree: int, w: int, bt: int, extra_op: int = 0) -> int:
+    d = degree + extra_op
+    lanes = max(bt, 128)  # lane dim pads to 128 regardless of tile width
+    return (2 * d * w + 2 * d + 4) * lanes * 4
+
+
+def _group_chunk_counts(groups, w: int, bt: int, extra_op: int = 0):
+    counts = []
+    for g in groups:
+        per_node = _fold_bytes_per_node(int(g.degree), w, bt, extra_op)
+        max_nodes = max(GROUP_VMEM_BUDGET // per_node, 8)
+        counts.append(-(-int(g.num_nodes) // max_nodes))
+    return tuple(counts)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -147,22 +190,24 @@ VMEM_SCRATCH_BUDGET = 100 * 1024 * 1024
 def vmem_estimate(layout: DecodeLayout, batch_tile: int, t_decoder: int = 16) -> int:
     """Conservative VMEM footprint model of one grid program (bytes).
 
-    Counts the resident message views + staging scratch, the I/O blocks, and
-    the peak per-group fold working set: the column cache holds W packed-word
-    planes per (LUT, operand) pair (~2·degree pairs live per group) plus the
-    chain states. This is what sizes the batch tile — the N=8000 regular code
-    at tile 128 overflows the chip's 128 MB VMEM through its 8000-row node
-    planes."""
+    Counts the resident message views + staging scratch (lane dim padded to
+    128 — sub-128 tiles do NOT shrink physical VMEM), the I/O blocks, and the
+    peak per-group fold working set. Groups stream through node chunks
+    bounded by GROUP_VMEM_BUDGET, so the fold term is capped; the views set
+    the floor."""
     W = -(-t_decoder // (32 // _field_bits(t_decoder)))
-    plane = batch_tile * 4
+    plane = max(batch_tile, 128) * 4
     scratch = (2 * (layout.n_edges + layout.n_vars) + 2 * layout.n_vars) * plane
     io = 2 * layout.n_vars * plane
     group_peak = 0
     for grps, extra_op in ((layout.cn_groups, 0), (layout.vn_groups, 1)):
         for g in grps:
-            d = g.degree + extra_op
-            live = (2 * d * W + 2 * d) * g.num_nodes * plane
-            group_peak = max(group_peak, live)
+            per_node = _fold_bytes_per_node(
+                int(g.degree), W, batch_tile, extra_op
+            )
+            max_nodes = max(GROUP_VMEM_BUDGET // per_node, 8)
+            chunk_nodes = min(int(g.num_nodes), max_nodes)
+            group_peak = max(group_peak, per_node * chunk_nodes)
     return scratch + io + group_peak
 
 
@@ -262,8 +307,12 @@ def _build_kernel(
     unperm_runs = _runs(layout.vn_unperm_plan)
     # Route-on-write: CN outputs scatter straight into the VN view and vice
     # versa (per-plane runs of to_vn/to_cn), replacing full-view copies.
-    cn_scatter = _scatter_runs(layout.to_vn, layout.cn_groups)
-    vn_scatter = _scatter_runs(layout.to_cn, layout.vn_groups)
+    # Node-dimension chunking bounds the per-group fold working set.
+    W_words = -(-pt.t_decoder // (32 // pt.fb))
+    cn_chunks = _group_chunk_counts(layout.cn_groups, W_words, Bt, extra_op=0)
+    vn_chunks = _group_chunk_counts(layout.vn_groups, W_words, Bt, extra_op=1)
+    cn_scatter = _scatter_runs(layout.to_vn, layout.cn_groups, cn_chunks)
+    vn_scatter = _scatter_runs(layout.to_cn, layout.vn_groups, vn_chunks)
 
     cn_groups = tuple(
         (g.offset, g.num_nodes, g.degree) for g in layout.cn_groups
@@ -290,8 +339,11 @@ def _build_kernel(
         for d, s, l in runs:
             dst_ref[d : d + l] = src_ref[s : s + l]
 
-    def read_planes(ref, off, n, d):
-        return [ref[off + j * n : off + (j + 1) * n] for j in range(d)]
+    def read_planes(ref, off, n, d, c0=0, cl=None):
+        cl = n if cl is None else cl
+        return [
+            ref[off + j * n + c0 : off + j * n + c0 + cl] for j in range(d)
+        ]
 
     def write_planes_routed(ref, plane_runs, planes):
         for runs, p in zip(plane_runs, planes):
@@ -320,38 +372,40 @@ def _build_kernel(
         # --- Iteration-0 CN update (iteration-0 trellis tables), routed
         # straight into the VN view.
         i0_first = cn_i0_first_ref[:]
-        for runs, (off_, n, d) in zip(cn_scatter, cn_groups):
-            planes = read_planes(A, off_, n, d)
+        for chunks, (off_, n, d) in zip(cn_scatter, cn_groups):
             luts = [plut(i0_first, pt.t_channel)] + [
                 plut(cn_i0_rest_ref[l], pt.t_channel) for l in range(d - 3)
             ]
-            outp = cn_lut_leave_one_out(planes, luts, vmax=T)
-            if has_match:
-                row = match_cn_ref[0, d - 1]
-                outp = [vector_lookup_words(row, p, fb) for p in outp]
-            write_planes_routed(B, runs, outp)
+            for c0, cl, runs in chunks:
+                planes = read_planes(A, off_, n, d, c0, cl)
+                outp = cn_lut_leave_one_out(planes, luts, vmax=T)
+                if has_match:
+                    row = match_cn_ref[0, d - 1]
+                    outp = [vector_lookup_words(row, p, fb) for p in outp]
+                write_planes_routed(B, runs, outp)
 
         def loop_body(i, want_syndrome: bool):
             # VN update with iteration-i tables, routed into the CN view.
             vn_first_i = vn_first_ref[i]
             vn_rest_i = vn_rest_ref[i] if has_vn_rest else None
             match_vn_i = match_vn_ref[i] if has_match else None
-            for runs, goff, (off_, n, d) in zip(
+            for chunks, goff, (off_, n, d) in zip(
                 vn_scatter, vn_node_offsets, vn_groups
             ):
-                chv = CHG[goff : goff + n]
-                planes = read_planes(B, off_, n, d)
-                outp = vn_lut_leave_one_out(
-                    chv,
-                    planes,
-                    plut(vn_first_i, T),
-                    [plut(vn_rest_i[l], T) for l in range(max(d - 2, 0))],
-                    vmax=T,
-                )
-                if has_match and d > 1:
-                    row = match_vn_i[d - 1]
-                    outp = [vector_lookup_words(row, p, fb) for p in outp]
-                write_planes_routed(A, runs, outp)
+                for c0, cl, runs in chunks:
+                    chv = CHG[goff + c0 : goff + c0 + cl]
+                    planes = read_planes(B, off_, n, d, c0, cl)
+                    outp = vn_lut_leave_one_out(
+                        chv,
+                        planes,
+                        plut(vn_first_i, T),
+                        [plut(vn_rest_i[l], T) for l in range(max(d - 2, 0))],
+                        vmax=T,
+                    )
+                    if has_match and d > 1:
+                        row = match_vn_i[d - 1]
+                        outp = [vector_lookup_words(row, p, fb) for p in outp]
+                    write_planes_routed(A, runs, outp)
 
             # Syndrome on the routed VN->CN messages (kernels_template.cl:292).
             if want_syndrome:
@@ -370,17 +424,18 @@ def _build_kernel(
             # kernels_template.cl:199-200), routed into the VN view.
             cn_rest_i = cn_rest_ref[i]
             match_cn_i = match_cn_ref[i + 1] if has_match else None
-            for runs, (off_, n, d) in zip(cn_scatter, cn_groups):
-                planes = read_planes(A, off_, n, d)
-                outp = cn_lut_leave_one_out(
-                    planes,
-                    [plut(cn_rest_i[l], T) for l in range(d - 2)],
-                    vmax=T,
-                )
-                if has_match:
-                    row = match_cn_i[d - 1]
-                    outp = [vector_lookup_words(row, p, fb) for p in outp]
-                write_planes_routed(B, runs, outp)
+            for chunks, (off_, n, d) in zip(cn_scatter, cn_groups):
+                for c0, cl, runs in chunks:
+                    planes = read_planes(A, off_, n, d, c0, cl)
+                    outp = cn_lut_leave_one_out(
+                        planes,
+                        [plut(cn_rest_i[l], T) for l in range(d - 2)],
+                        vmax=T,
+                    )
+                    if has_match:
+                        row = match_cn_i[d - 1]
+                        outp = [vector_lookup_words(row, p, fb) for p in outp]
+                    write_planes_routed(B, runs, outp)
             return unsat
 
         unsat0 = jnp.ones((Bt,), jnp.int32)
@@ -417,16 +472,19 @@ def _build_kernel(
         # (calc_varnode_output call, discrete_LDPC_decoder.py:279-288).
         dec_first = vn_first_ref[iters]
         dec_rest = vn_rest_ref[iters] if has_vn_rest else None
-        for goff, (off_, n, d) in zip(vn_node_offsets, vn_groups):
-            chv = CHG[goff : goff + n]
-            planes = read_planes(B, off_, n, d)
-            OUTS[goff : goff + n] = vn_lut_full_fold(
-                chv,
-                planes,
-                plut(dec_first, T),
-                [plut(dec_rest[l], T) for l in range(max(d - 1, 0))],
-                vmax=T,
-            )
+        for chunks, goff, (off_, n, d) in zip(
+            vn_scatter, vn_node_offsets, vn_groups
+        ):
+            for c0, cl, _ in chunks:
+                chv = CHG[goff + c0 : goff + c0 + cl]
+                planes = read_planes(B, off_, n, d, c0, cl)
+                OUTS[goff + c0 : goff + c0 + cl] = vn_lut_full_fold(
+                    chv,
+                    planes,
+                    plut(dec_first, T),
+                    [plut(dec_rest[l], T) for l in range(max(d - 1, 0))],
+                    vmax=T,
+                )
         copy_runs(out_ref, OUTS, unperm_runs)
         unsat_ref[0, :] = unsat
         iters_ref[0, :] = jnp.full((Bt,), iters, jnp.int32)
