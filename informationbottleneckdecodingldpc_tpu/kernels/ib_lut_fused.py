@@ -121,8 +121,9 @@ def _chunk_bounds(n: int, n_chunks: int) -> list[tuple[int, int]]:
 
 
 # Per-group VMEM working-set budget for the fold (column caches + chain
-# states); groups larger than this stream through node chunks.
-GROUP_VMEM_BUDGET = 20 * 1024 * 1024
+# states); groups larger than this stream through node chunks. Mosaic's
+# real stack allocation runs ~1.6x the model, so keep this modest.
+GROUP_VMEM_BUDGET = 10 * 1024 * 1024
 
 
 def _fold_bytes_per_node(degree: int, w: int, bt: int, extra_op: int = 0) -> int:
@@ -513,7 +514,7 @@ def _build_kernel(
     params = pltpu.CompilerParams(
         # v5e has 128 MB VMEM; the default 16 MB scoped limit is too
         # small for the resident message views plus fold temporaries.
-        vmem_limit_bytes=100 * 1024 * 1024,
+        vmem_limit_bytes=120 * 1024 * 1024,
     )
 
     def call_tiles(ch):

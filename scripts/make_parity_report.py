@@ -15,7 +15,8 @@ SWEEPS = [
     ("wlan_ib_T32_enc", "WLAN 802.11n N=1296 — IB LUT |T|=32, encoded chain, i_max=50"),
     ("wlan_bp_enc", "WLAN 802.11n N=1296 — quantized BP (16-level LLR), encoded chain"),
     ("wlan_minsum_enc", "WLAN 802.11n N=1296 — min-sum (16-level LLR), encoded chain"),
-    ("regular_ib_allzero", "Regular (3,6) N=8000 — IB LUT |T|=16, all-zeros, i_max=250"),
+    ("regular_ib_allzero", "Regular (3,6) N=8000 — IB LUT |T|=16 designed @1.05 dB (reference sim's pkl; DE stalls at MI 0.74 at this design point), all-zeros, i_max=250"),
+    ("regular_ib_d125", "Regular (3,6) N=8000 — IB LUT |T|=16 designed @1.25 dB (reference config-gen example; DE converges, MI 1.0), all-zeros, i_max=250"),
     ("regular_minsum", "Regular (3,6) N=8000 — min-sum benchmark, i_max=50"),
     ("dvbs2_ib_enc", "DVB-S2 N=64800 (ETSI matrix) — IB LUT |T|=16 designed @0.6 dB (reference setting; its DE stalls at MI 0.68 within i_max=50, capping the decoder), encoded chain"),
     ("dvbs2_ib_enc_d08", "DVB-S2 N=64800 (ETSI matrix) — IB LUT |T|=16 designed @0.8 dB (converged DE, MI 0.957), encoded chain, i_max=50"),
