@@ -98,6 +98,28 @@ def main():
         " measured gaps above reproduce exactly that ordering."
     )
     out.append("")
+    out.append("## Regular (3,6) N=8000 and DVB-S2 N=64800 gaps vs min-sum\n")
+    out.append("| Curve | Eb/N0 @ BER 1e-4 (dB) |")
+    out.append("|---|---|")
+    for name in ("regular_ib_d125", "regular_ib_allzero", "regular_minsum",
+                 "dvbs2_ib_enc_d08", "dvbs2_minsum"):
+        if name not in curves:
+            continue
+        db = interp_db_at_ber(curves[name], 1e-4)
+        out.append(
+            f"| {name} | "
+            f"{'not reached in sweep range' if db is None else f'{db:.2f}'} |"
+        )
+    out.append("")
+    out.append(
+        "DVB-S2 note: the IB decoder designed at the converged 0.8 dB point"
+        " shows the expected N=64800 cliff (BER 2.6e-4 at 1.0 dB, 7.0e-8 at"
+        " 1.1 dB); 16-level min-sum is still at BER ~0.12 at 1.3 dB — a"
+        " large gap at any measurable BER, consistent with [LB18]'s DVB-S2"
+        " results. The regular IB decoder (converged 1.25 dB design) beats"
+        " its min-sum benchmark by ~0.4 dB."
+    )
+    out.append("")
     with open("PARITY.md", "w") as f:
         f.write("\n".join(out))
     print("\n".join(out[:6]))
