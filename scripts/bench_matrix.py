@@ -77,25 +77,27 @@ def ib_ops_per_iteration(layout, trellis):
 
 
 def measure_peak_int_ops(reps=6):
-    """Measured peak elementwise int32 op rate (cmp/select/shift/and chain —
-    the ops the packed LUT decode consists of)."""
+    """Measured peak elementwise int32 op rate (cmp/select/shift/xor chain —
+    the ops the packed LUT decode consists of). Returns a SCALAR through the
+    tunnel (reading back the full array would be transfer-bound) and runs a
+    long dependent chain so dispatch latency amortizes."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     shape = (4096, 1024)
-    K = 64
+    rounds = 16384  # 4 ops/round: ~275 G ops/call so dispatch latency is noise
 
     @jax.jit
     def chain(x):
-        y = x
-        for i in range(K // 4):
-            y = jnp.where(y > i, y + 1, y)       # cmp + sel + add
-            y = (y >> 1) ^ y                     # shift + xor  -> 5 ops/round? count 4
-        return y
+        def body(y, i):
+            y = jnp.where(y > i, y + 1, y)  # cmp + sel (+ add folded)
+            y = (y >> 1) ^ y                # shift + xor
+            return y, ()
+        y, _ = jax.lax.scan(body, x, jnp.arange(rounds, dtype=jnp.int32))
+        return jnp.sum(y, dtype=jnp.int32)
 
-    # ops counted per element per round: cmp, sel, shift, xor (add folded) = 4
-    ops_per_elem = (K // 4) * 4
+    ops_per_elem = rounds * 4
     x = jnp.ones(shape, jnp.int32)
     np.asarray(chain(x))
     times = []
