@@ -25,6 +25,13 @@ def main(argv=None):
     p.add_argument("--i-max", type=int, default=None)
     p.add_argument("--cardinality-t", type=int, default=None)
     p.add_argument("--no-match", action="store_true", help="disable message alignment")
+    p.add_argument("--ib-backend", choices=["dp", "sib"], default="dp",
+                   help="DE compression: 'dp' exact DP (default) or 'sib' "
+                        "randomized sequential IB with --nror restarts (the "
+                        "reference's lin_sym_sIB construction stack)")
+    p.add_argument("--nror", type=int, default=10,
+                   help="sIB restarts per compression step (reference: 10)")
+    p.add_argument("--ib-seed", type=int, default=0)
     p.add_argument("--output", required=True)
     p.add_argument("--export-exit-chart", default=None,
                    help="write the DE MI-trajectory (EXIT-style) plot "
@@ -46,6 +53,9 @@ def main(argv=None):
         i_max=i_max,
         match=not args.no_match,
         verbose=args.verbose,
+        ib_backend=args.ib_backend,
+        ib_nror=args.nror,
+        ib_seed=args.ib_seed,
     )
     if spec.irregular:
         kwargs["H"] = spec.make_h()

@@ -62,6 +62,8 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     results_path = args.results
+    is_primary = True
+    resume_state = None
     if args.multihost:
         from ..parallel.mesh import initialize_multihost
 
@@ -69,11 +71,13 @@ def main(argv=None):
             args.coordinator_address, args.num_processes, args.process_id
         )
         print(f"multihost: process {proc}/{nprocs}", flush=True)
-        if proc != 0:
-            # Counters are replicated by psum; only process 0 persists.
-            import tempfile
-
-            results_path = tempfile.mktemp(suffix=".json")
+        is_primary = proc == 0
+        if nprocs > 1:
+            # All processes must replay the identical sweep (every jitted
+            # step issues collectives), so process 0's resume state — the
+            # persisted points and mid-point checkpoint — is broadcast and
+            # used by everyone; only process 0 writes results/exports.
+            resume_state = _broadcast_resume_state(results_path, is_primary)
 
     spec = get_model(args.model)
     H = spec.make_h()
@@ -121,13 +125,44 @@ def main(argv=None):
     from ..utils.profiling import device_trace
 
     with device_trace(args.trace_dir):
-        results = SweepController(sim, sched, results_path=results_path).run()
-    if args.export_npz:
-        export_npz(args.export_npz, results)
-    if args.export_mat:
-        export_mat(args.export_mat, results, decoder_name=args.model)
-    if args.export_plot:
-        export_plot(args.export_plot, results, label=f"{args.model}/{args.decoder}")
+        results = SweepController(
+            sim,
+            sched,
+            results_path=results_path,
+            write_results=is_primary,
+            resume_state=resume_state,
+        ).run()
+    if is_primary:
+        if args.export_npz:
+            export_npz(args.export_npz, results)
+        if args.export_mat:
+            export_mat(args.export_mat, results, decoder_name=args.model)
+        if args.export_plot:
+            export_plot(args.export_plot, results, label=f"{args.model}/{args.decoder}")
+
+
+def _broadcast_resume_state(results_path: str, is_primary: bool) -> dict:
+    """Ship process 0's persisted sweep state to every process.
+
+    JSON payload as length-prefixed uint8 via two broadcast_one_to_all calls
+    (shapes must agree on all processes, so the length goes first).
+    """
+    import json
+    import os
+
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    payload = b"{}"
+    if is_primary and os.path.exists(results_path):
+        with open(results_path, "rb") as f:
+            payload = f.read()
+    n = int(multihost_utils.broadcast_one_to_all(np.int64(len(payload))))
+    buf = np.frombuffer(payload.ljust(n, b" "), dtype=np.uint8)
+    if not is_primary:
+        buf = np.zeros(n, dtype=np.uint8)
+    buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    return json.loads(bytes(buf).decode())
 
 
 if __name__ == "__main__":

@@ -161,6 +161,9 @@ def build_decoder_config(
     H=None,
     match: bool = True,
     verbose: bool = False,
+    ib_backend: str = "dp",
+    ib_nror: int = 10,
+    ib_seed: int = 0,
 ) -> DecoderConfig:
     """Construct a discrete decoder for a design Eb/N0 (or noise variance).
 
@@ -193,9 +196,11 @@ def build_decoder_config(
         sigma2, ad_max_abs, cardinality_t_channel, cardinality_y_channel
     )
 
+    ib_kw = dict(ib_backend=ib_backend, ib_nror=ib_nror, ib_seed=ib_seed)
     if lambda_vec is None:
         de = DiscreteDensityEvolution(
-            qt.p_x_and_t, cardinality_t_decoder, d_v, d_c, i_max, verbose=verbose
+            qt.p_x_and_t, cardinality_t_decoder, d_v, d_c, i_max,
+            verbose=verbose, **ib_kw,
         )
     else:
         de = DiscreteDensityEvolutionIrregular(
@@ -206,6 +211,7 @@ def build_decoder_config(
             i_max,
             match=match,
             verbose=verbose,
+            **ib_kw,
         )
     tables, diag = de.run()
     return DecoderConfig(

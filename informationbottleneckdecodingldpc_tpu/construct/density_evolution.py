@@ -62,6 +62,9 @@ class DiscreteDensityEvolution:
         d_c: int,
         i_max: int,
         verbose: bool = False,
+        ib_backend: str = "dp",  # 'dp' (exact) | 'sib' (randomized restarts)
+        ib_nror: int = 10,
+        ib_seed: int = 0,
     ):
         self.p_channel = np.asarray(p_x_and_t_channel, dtype=np.float64)
         self.t_channel = self.p_channel.shape[0]
@@ -70,9 +73,33 @@ class DiscreteDensityEvolution:
         self.d_c = int(d_c)
         self.i_max = int(i_max)
         self.verbose = verbose
+        if ib_backend not in ("dp", "sib"):
+            raise ValueError(f"unknown ib_backend {ib_backend!r}")
+        # 'sib' reproduces the reference's construction stack: randomized
+        # sequential symmetric IB with ``nror`` restarts per compression step
+        # (lin_sym_sIB, Discrete_Density_Evolution.py:138-145). Its per-step
+        # I(X;T) is <= the exact DP's by construction, but near-threshold
+        # designs may follow a different DE *trajectory* — this backend
+        # exists to test exactly that (round-2 verdict #2).
+        self.ib_backend = ib_backend
+        self.ib_nror = int(ib_nror)
+        self.ib_seed = int(ib_seed)
+        self._ib_calls = 0
 
     def _ib(self, joint: np.ndarray):
-        r = optimal_symmetric_quantizer(numerical_guard(joint), self.t_decoder)
+        joint = numerical_guard(joint)
+        if self.ib_backend == "sib":
+            from ..ib.sib import sequential_sib
+
+            self._ib_calls += 1
+            r = sequential_sib(
+                joint,
+                self.t_decoder,
+                nror=self.ib_nror,
+                seed=self.ib_seed + self._ib_calls,
+            )
+        else:
+            r = optimal_symmetric_quantizer(joint, self.t_decoder)
         p_x_and_t = r.p_x_given_t * r.p_t[:, None]
         if self.verbose:
             print(f"I(X;T)={r.mi_xt:.6f}  I(X;Y)={r.mi_xy:.6f}")

@@ -58,13 +58,24 @@ class DiscreteDensityEvolutionIrregular(DiscreteDensityEvolution):
         match: bool = True,
         compat_rematch_row: bool = True,
         verbose: bool = False,
+        ib_backend: str = "dp",
+        ib_nror: int = 10,
+        ib_seed: int = 0,
     ):
         self.lambda_vec = np.asarray(lambda_vec, dtype=np.float64)
         self.rho_vec = np.asarray(rho_vec, dtype=np.float64)
         d_v_max = self.lambda_vec.shape[0]
         d_c_max = self.rho_vec.shape[0]
         super().__init__(
-            p_x_and_t_channel, cardinality_t_decoder, d_v_max, d_c_max, i_max, verbose
+            p_x_and_t_channel,
+            cardinality_t_decoder,
+            d_v_max,
+            d_c_max,
+            i_max,
+            verbose,
+            ib_backend=ib_backend,
+            ib_nror=ib_nror,
+            ib_seed=ib_seed,
         )
         self.match = match
         self.compat_rematch_row = compat_rematch_row

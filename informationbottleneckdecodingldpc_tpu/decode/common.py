@@ -27,7 +27,14 @@ class DecodeResult:
 
     ``outputs``: [n_vars, batch] posterior quantity (cluster index for the IB
     LUT decoder, LLR for BP/min-sum) in natural variable order.
-    ``iterations``: scalar count of executed in-loop iterations.
+    ``iterations``: scalar executed in-loop iteration count. Backend
+    semantics differ by early-exit granularity: the XLA paths run the whole
+    batch in lockstep and report that single count; the fused Pallas kernels
+    exit per batch-*tile* and report the per-codeword MEAN exit iteration
+    (float). Identical BER either way, but ``mean_iterations`` in results is
+    a batch-lockstep count for backend='xla' and a true per-codeword average
+    for backend='fused' — don't compare across backends. With
+    ``early_exit=False`` both report ``max_iters - 1``.
     ``unsatisfied``: [batch] unsatisfied-check count at exit.
     """
 

@@ -1,5 +1,12 @@
 """Pallas TPU kernels (the fast path for the hot decode ops)."""
 
 from .ib_lut_fused import FusedIBDecoder, fused_supported, make_fused_ib_decoder
+from .ib_lut_hbm import HBMFusedIBDecoder, hbm_supported
 
-__all__ = ["FusedIBDecoder", "fused_supported", "make_fused_ib_decoder"]
+__all__ = [
+    "FusedIBDecoder",
+    "fused_supported",
+    "make_fused_ib_decoder",
+    "HBMFusedIBDecoder",
+    "hbm_supported",
+]

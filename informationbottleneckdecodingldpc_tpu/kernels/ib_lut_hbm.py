@@ -1,0 +1,449 @@
+"""HBM-resident fused Pallas kernel for the discrete IB LUT decoder.
+
+For codes whose two [n_edges, batch_tile] message views exceed VMEM — the
+DVB-S2 N=64800 code's 226,799-edge views are ~116 MB each at a 128-lane tile
+— the all-VMEM kernel (:mod:`.ib_lut_fused`) cannot apply. This kernel keeps
+both views in HBM and streams node-group chunks through VMEM with explicit
+DMAs:
+
+- each (group, chunk) stages its ``d`` contiguous message planes HBM->VMEM,
+  runs the same packed-LUT leave-one-out fold as the all-VMEM kernel, and
+  scatters its outputs back into the *opposite* HBM view with one DMA per
+  run of the routing permutation (route-on-write);
+- the syndrome is folded into the CN pass (it reads exactly the planes the
+  CN update stages), so one iteration costs the HBM-traffic minimum of
+  read+write of each view once per half-iteration — the XLA path's
+  per-iteration fold round-trips (11.9 ms/iter at batch 128, round-2
+  BENCH_MATRIX profile) collapse into streaming copies;
+- channel values and decision outputs also live in HBM: the caller (XLA)
+  pre-applies ``seed_plan``/``vn_gather_plan`` and post-applies
+  ``vn_unperm_plan``, so the kernel only ever touches contiguous slices.
+
+Reference semantics are identical to decode/ib_lut.py (which mirrors
+Discrete_LDPC_decoding/discrete_LDPC_decoder.py:202-295 and
+kernels_template{,_irreg}.cl): iteration-0 CN tables, the in-loop
+``iteration+1`` CN matching offset, batch-lockstep early exit at batch-tile
+granularity. With ``early_exit=False`` it is bit-exact vs the XLA path.
+
+Requirements: the CN<->VN routing must run-decompose into unit-stride runs
+(quasi-cyclic / q-group structured codes; DVB-S2 routes in ~735 runs of mean
+length ~308). Unlike the all-VMEM kernel, the seed/gather/unperm plans may
+contain strided runs or block transposes — XLA applies them outside.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..construct.trellis import TrellisTables
+from ..decode.common import DecodeResult
+from ..decode.graph_arrays import DecodeLayout
+from ..ops.lut_fold import (
+    PackedLut,
+    cn_lut_leave_one_out,
+    vector_lookup_words,
+    vn_lut_full_fold,
+    vn_lut_leave_one_out,
+)
+from .ib_lut_fused import (
+    _PackedTables,
+    _chunk_bounds,
+    _fold_bytes_per_node,
+    _scatter_runs,
+)
+
+# Per-(group, chunk) VMEM working-set budget for the fold. With the views in
+# HBM almost all of VMEM is available; bigger chunks mean fewer, longer DMAs.
+HBM_GROUP_VMEM_BUDGET = 48 * 1024 * 1024
+
+# Cap on unrolled DMA starts per message-passing iteration (compile time /
+# program size guard; structured codes land well below it).
+MAX_ITER_DMAS = 16384
+
+
+def _group_chunk_counts(groups, w: int, bt: int, extra_op: int = 0):
+    counts = []
+    for g in groups:
+        per_node = _fold_bytes_per_node(int(g.degree), w, bt, extra_op)
+        max_nodes = max(HBM_GROUP_VMEM_BUDGET // per_node, 8)
+        counts.append(-(-int(g.num_nodes) // max_nodes))
+    return tuple(counts)
+
+
+def _iter_dma_count(layout: DecodeLayout, cn_scatter, vn_scatter) -> int:
+    n = 0
+    for scatter, groups in ((cn_scatter, layout.cn_groups), (vn_scatter, layout.vn_groups)):
+        for chunks, g in zip(scatter, groups):
+            for _, _, planes in chunks:
+                n += int(g.degree)  # plane reads
+                n += sum(len(runs) for runs in planes)  # routed writes
+    return n + len(vn_scatter)  # + one chv read per VN chunk (upper bound)
+
+
+def hbm_supported(layout: DecodeLayout) -> bool:
+    """Whether the HBM-resident kernel applies: CN<->VN routing must be
+    unit-stride runs (the seed/gather/unperm plans are applied by XLA and
+    may be anything)."""
+    return all(
+        p.use_runs and p.all_unit_stride for p in (layout.to_vn, layout.to_cn)
+    )
+
+
+class HBMFusedIBDecoder:
+    """DMA-staged decoder: clusters [n_vars, batch] -> DecodeResult.
+
+    ``batch_tile`` is the per-call batch width (one 128-lane tile by
+    default); the batch is padded up to a multiple and tiles run under
+    ``lax.map``. ``interpret`` defaults to True off-TPU.
+    """
+
+    def __init__(
+        self,
+        layout: DecodeLayout,
+        tables: TrellisTables,
+        max_iters: int | None = None,
+        early_exit: bool = True,
+        use_matching: bool = True,
+        batch_tile: int = 128,
+        interpret: bool | None = None,
+    ):
+        if not hbm_supported(layout):
+            raise ValueError(
+                "layout CN<->VN routing does not run-decompose into "
+                "unit-stride runs; use the XLA path"
+            )
+        self.layout = layout
+        self.packed = _PackedTables.from_tables(tables, use_matching=use_matching)
+        self.imax = max_iters if max_iters is not None else tables.i_max
+        if self.imax > tables.i_max:
+            raise ValueError("max_iters exceeds constructed i_max")
+        self.early_exit = early_exit
+        self.batch_tile = batch_tile
+        self.interpret = (
+            interpret if interpret is not None else jax.default_backend() != "tpu"
+        )
+        self._kernel = _build_hbm_kernel(
+            layout, self.packed, self.imax, early_exit, batch_tile, self.interpret
+        )
+
+    def __call__(self, channel_clusters: jnp.ndarray) -> DecodeResult:
+        return self._kernel(channel_clusters)
+
+
+def _build_hbm_kernel(
+    layout: DecodeLayout,
+    pt: _PackedTables,
+    imax: int,
+    early_exit: bool,
+    batch_tile: int,
+    interpret: bool,
+):
+    Bt = batch_tile
+    T = pt.t_decoder
+    fb = pt.fb
+    thresh = T // 2
+    n_vars, n_edges = layout.n_vars, layout.n_edges
+
+    W_words = -(-T // (32 // fb))
+    cn_chunks = _group_chunk_counts(layout.cn_groups, W_words, Bt, extra_op=0)
+    vn_chunks = _group_chunk_counts(layout.vn_groups, W_words, Bt, extra_op=1)
+    cn_scatter = _scatter_runs(layout.to_vn, layout.cn_groups, cn_chunks)
+    vn_scatter = _scatter_runs(layout.to_cn, layout.vn_groups, vn_chunks)
+    if _iter_dma_count(layout, cn_scatter, vn_scatter) > MAX_ITER_DMAS:
+        raise ValueError("routing decomposes into too many DMA runs")
+
+    cn_groups = tuple((g.offset, g.num_nodes, g.degree) for g in layout.cn_groups)
+    vn_groups = tuple((g.offset, g.num_nodes, g.degree) for g in layout.vn_groups)
+    vn_node_offsets = []
+    off = 0
+    for _, n, _ in vn_groups:
+        vn_node_offsets.append(off)
+        off += n
+    vn_node_offsets = tuple(vn_node_offsets)
+
+    # Stage-buffer geometry: plane j of the current chunk lives at rows
+    # [j*chunk_stride, j*chunk_stride + cl). One shared buffer sized for the
+    # largest (degree x chunk) of any group.
+    def chunk_rows(groups, counts):
+        best = 0
+        strides = []
+        for g, c in zip(groups, counts):
+            bounds = _chunk_bounds(int(g.num_nodes), c)
+            stride = max(cl for _, cl in bounds)
+            strides.append(stride)
+            best = max(best, stride * int(g.degree))
+        return best, tuple(strides)
+
+    cn_stage_rows, cn_strides = chunk_rows(layout.cn_groups, cn_chunks)
+    vn_stage_rows, vn_strides = chunk_rows(layout.vn_groups, vn_chunks)
+    stage_rows = max(cn_stage_rows, vn_stage_rows)
+    chv_rows = max(vn_strides)
+
+    has_match = pt.match_cn is not None
+    has_cn_i0_rest = pt.cn_i0_rest is not None
+    has_vn_rest = pt.vn_rest is not None
+
+    def plut(words_val, t1):
+        return PackedLut(words=words_val, t1=t1, fb=fb)
+
+    def kernel(*refs):
+        it = iter(refs)
+        seeded_ref = next(it)  # [n_edges, Bt] ANY: initial CN view
+        chg_ref = next(it)  # [n_vars, Bt] ANY: group-ordered channel values
+        cn_i0_first_ref = next(it)
+        cn_i0_rest_ref = next(it) if has_cn_i0_rest else None
+        cn_rest_ref = next(it)
+        vn_first_ref = next(it)
+        vn_rest_ref = next(it) if has_vn_rest else None
+        match_cn_ref = next(it) if has_match else None
+        match_vn_ref = next(it) if has_match else None
+        out_ref = next(it)  # [n_vars, Bt] ANY: group-ordered decisions
+        unsat_ref, iters_ref = next(it), next(it)
+        A, B = next(it), next(it)  # [n_edges, Bt] ANY views
+        S_in, S_out, CHV = next(it), next(it), next(it)
+        sem = next(it)
+
+        def dma(src, dst):
+            return pltpu.make_async_copy(src, dst, sem)
+
+        def run_all(dmas):
+            # Strict all-start-then-all-wait on ONE semaphore: TPU DMA
+            # semaphores count BYTES, so individual waits may be satisfied by
+            # other copies in the group — but the group's waits collectively
+            # block until every byte of the group has landed, and no DMA
+            # outside the group is ever outstanding concurrently.
+            for m in dmas:
+                m.start()
+            for m in dmas:
+                m.wait()
+
+        def stage_planes(view, off_, n, d, c0, cl, stride, chv_off=None):
+            """DMA the chunk's d planes view->S_in (plus optionally the
+            chunk's channel values chg->CHV); returns the plane values."""
+            dmas = [
+                dma(
+                    view.at[pl.ds(off_ + j * n + c0, cl)],
+                    S_in.at[pl.ds(j * stride, cl)],
+                )
+                for j in range(d)
+            ]
+            if chv_off is not None:
+                dmas.append(
+                    dma(chg_ref.at[pl.ds(chv_off + c0, cl)], CHV.at[pl.ds(0, cl)])
+                )
+            run_all(dmas)
+            return [S_in[j * stride : j * stride + cl] for j in range(d)]
+
+        def scatter_out(view, plane_runs, outp, stride):
+            """Write fold outputs to S_out, then DMA each routed run."""
+            for j, p in enumerate(outp):
+                S_out[j * stride : j * stride + p.shape[0]] = p
+            run_all(
+                [
+                    dma(
+                        S_out.at[pl.ds(j * stride + s_, l_)],
+                        view.at[pl.ds(d_, l_)],
+                    )
+                    for j, runs in enumerate(plane_runs)
+                    for d_, s_, l_ in runs
+                ]
+            )
+
+        def cn_pass(src_view, luts_for, match_row_for, want_syndrome):
+            unsat = jnp.zeros((Bt,), jnp.int32) if want_syndrome else None
+            for chunks, stride, (off_, n, d) in zip(
+                cn_scatter, cn_strides, cn_groups
+            ):
+                luts = luts_for(d)
+                for c0, cl, runs in chunks:
+                    planes = stage_planes(src_view, off_, n, d, c0, cl, stride)
+                    if want_syndrome:
+                        parity = (planes[0] < thresh).astype(jnp.int32)
+                        for j in range(1, d):
+                            parity = parity ^ (planes[j] < thresh).astype(
+                                jnp.int32
+                            )
+                        unsat = unsat + jnp.sum(parity, axis=0, dtype=jnp.int32)
+                    outp = cn_lut_leave_one_out(planes, luts, vmax=T)
+                    if has_match:
+                        row = match_row_for(d)
+                        outp = [vector_lookup_words(row, p, fb) for p in outp]
+                    scatter_out(B, runs, outp, stride)
+            return unsat
+
+        # --- Iteration-0 CN update from the seeded view.
+        i0_first = cn_i0_first_ref[:]
+        cn_pass(
+            seeded_ref,
+            lambda d: [plut(i0_first, pt.t_channel)]
+            + [plut(cn_i0_rest_ref[l], pt.t_channel) for l in range(d - 3)],
+            (lambda d: match_cn_ref[0, d - 1]) if has_match else None,
+            want_syndrome=False,
+        )
+
+        def loop_body(i, want_syndrome: bool):
+            # VN update with iteration-i tables, routed into the CN view A.
+            vn_first_i = vn_first_ref[i]
+            vn_rest_i = vn_rest_ref[i] if has_vn_rest else None
+            match_vn_i = match_vn_ref[i] if has_match else None
+            for chunks, stride, goff, (off_, n, d) in zip(
+                vn_scatter, vn_strides, vn_node_offsets, vn_groups
+            ):
+                for c0, cl, runs in chunks:
+                    planes = stage_planes(
+                        B, off_, n, d, c0, cl, stride, chv_off=goff
+                    )
+                    chv = CHV[0:cl]
+                    outp = vn_lut_leave_one_out(
+                        chv,
+                        planes,
+                        plut(vn_first_i, T),
+                        [plut(vn_rest_i[l], T) for l in range(max(d - 2, 0))],
+                        vmax=T,
+                    )
+                    if has_match and d > 1:
+                        row = match_vn_i[d - 1]
+                        outp = [vector_lookup_words(row, p, fb) for p in outp]
+                    scatter_out(A, runs, outp, stride)
+
+            # CN update at DE iteration i+1 (kernel's iteration+1 offset,
+            # kernels_template.cl:199-200); syndrome folded into the same
+            # staged reads (computed on the routed VN->CN messages, matching
+            # kernels_template.cl:292 / decode/ib_lut.py's in-body order).
+            cn_rest_i = cn_rest_ref[i]
+            unsat = cn_pass(
+                A,
+                lambda d: [plut(cn_rest_i[l], T) for l in range(d - 2)],
+                (lambda d: match_cn_ref[i + 1, d - 1]) if has_match else None,
+                want_syndrome=want_syndrome,
+            )
+            return unsat if want_syndrome else jnp.ones((Bt,), jnp.int32)
+
+        unsat0 = jnp.ones((Bt,), jnp.int32)
+        if imax - 1 <= 0:
+            iters, unsat = jnp.int32(0), unsat0
+        elif early_exit:
+
+            def cond(c):
+                i, unsat = c
+                return jnp.logical_and(
+                    i < imax - 1, jnp.sum((unsat > 0).astype(jnp.int32)) > 0
+                )
+
+            def step(c):
+                i, _ = c
+                return i + 1, loop_body(i, want_syndrome=True)
+
+            iters, unsat = jax.lax.while_loop(cond, step, (jnp.int32(0), unsat0))
+        else:
+            jax.lax.fori_loop(
+                0,
+                imax - 2,
+                lambda i, c: (loop_body(i, want_syndrome=False), c)[1],
+                0,
+            )
+            unsat = loop_body(imax - 2, want_syndrome=True)
+            iters = jnp.int32(imax - 1)
+
+        # --- Decision mapping with iteration-``iters`` VN tables.
+        dec_first = vn_first_ref[iters]
+        dec_rest = vn_rest_ref[iters] if has_vn_rest else None
+        for chunks, stride, goff, (off_, n, d) in zip(
+            vn_scatter, vn_strides, vn_node_offsets, vn_groups
+        ):
+            for c0, cl, _ in chunks:
+                planes = stage_planes(
+                    B, off_, n, d, c0, cl, stride, chv_off=goff
+                )
+                dec = vn_lut_full_fold(
+                    CHV[0:cl],
+                    planes,
+                    plut(dec_first, T),
+                    [plut(dec_rest[l], T) for l in range(max(d - 1, 0))],
+                    vmax=T,
+                )
+                S_out[0 : dec.shape[0]] = dec
+                run_all(
+                    [dma(S_out.at[pl.ds(0, cl)], out_ref.at[pl.ds(goff + c0, cl)])]
+                )
+        unsat_ref[0, :] = unsat
+        iters_ref[0, :] = jnp.full((Bt,), iters, jnp.int32)
+
+    # ---- pallas_call plumbing ------------------------------------------
+    table_arrays = [pt.cn_i0_first]
+    if has_cn_i0_rest:
+        table_arrays.append(pt.cn_i0_rest)
+    table_arrays.append(pt.cn_rest)
+    table_arrays.append(pt.vn_first)
+    if has_vn_rest:
+        table_arrays.append(pt.vn_rest)
+    if has_match:
+        table_arrays.extend([pt.match_cn, pt.match_vn])
+
+    ANY = pl.ANY
+    VMEM = pltpu.MemorySpace.VMEM
+
+    single = pl.pallas_call(
+        kernel,
+        grid=(),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_vars, Bt), jnp.int32),  # group-order out
+            jax.ShapeDtypeStruct((1, Bt), jnp.int32),  # unsat
+            jax.ShapeDtypeStruct((1, Bt), jnp.int32),  # iters
+            jax.ShapeDtypeStruct((n_edges, Bt), jnp.int32),  # A view
+            jax.ShapeDtypeStruct((n_edges, Bt), jnp.int32),  # B view
+        ),
+        in_specs=[pl.BlockSpec(memory_space=ANY)] * 2
+        + [pl.BlockSpec(memory_space=VMEM)] * len(table_arrays),
+        out_specs=(
+            pl.BlockSpec(memory_space=ANY),
+            pl.BlockSpec(memory_space=VMEM),
+            pl.BlockSpec(memory_space=VMEM),
+            pl.BlockSpec(memory_space=ANY),
+            pl.BlockSpec(memory_space=ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((stage_rows, Bt), jnp.int32),  # S_in
+            pltpu.VMEM((stage_rows, Bt), jnp.int32),  # S_out
+            pltpu.VMEM((chv_rows, Bt), jnp.int32),  # CHV
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+    def one_tile(ch_tile):
+        seeded = layout.seed_plan.apply(ch_tile)
+        chg = layout.vn_gather_plan.apply(ch_tile)
+        out_nodes, unsat, iters, _, _ = single(seeded, chg, *table_arrays)
+        outputs = layout.vn_unperm_plan.apply(out_nodes)
+        return outputs, unsat, iters
+
+    def run(channel_clusters):
+        batch = channel_clusters.shape[-1]
+        pad = (-batch) % Bt
+        ch = channel_clusters.astype(jnp.int32)
+        if pad:
+            ch = jnp.pad(ch, ((0, 0), (0, pad)))
+        padded = ch.shape[-1]
+        n_tiles = padded // Bt
+        if n_tiles == 1:
+            out, unsat, iters = one_tile(ch)
+        else:
+            tiles = ch.reshape(n_vars, n_tiles, Bt).transpose(1, 0, 2)
+            out_t, unsat_t, iters_t = jax.lax.map(one_tile, tiles)
+            out = out_t.transpose(1, 0, 2).reshape(n_vars, padded)
+            unsat = unsat_t.transpose(1, 0, 2).reshape(1, padded)
+            iters = iters_t.transpose(1, 0, 2).reshape(1, padded)
+        out = out[:, :batch]
+        unsat = unsat[0, :batch]
+        # Per-tile exit iterations -> batch mean (see DecodeResult notes).
+        iters = jnp.mean(iters[0, :batch].astype(jnp.float32))
+        return DecodeResult(outputs=out, iterations=iters, unsatisfied=unsat)
+
+    return jax.jit(run)

@@ -102,7 +102,7 @@ class BERSimulator:
         early_exit: bool = True,
         encoder=None,
         seed: int = 0,
-        backend: str = "auto",  # 'auto' | 'xla' | 'fused' (ib decoder only)
+        backend: str = "auto",  # 'auto' | 'xla' | 'fused' | 'hbm' (ib only)
         steps_per_dispatch: int = 1,
     ):
         if decoder == "ib":
@@ -152,12 +152,16 @@ class BERSimulator:
                     "encoder has no device path for this code; use host "
                     "pre-encoding or the allzero chain"
                 )
-        # Fused Pallas kernel (TPU fast path). Per-batch-tile early exit
+        # Fused Pallas kernels (TPU fast path). Per-batch-tile early exit
         # instead of the XLA path's whole-batch lockstep — identical BER,
         # fewer wasted iterations; bit-exact when early_exit is off.
+        # 'fused' = all-VMEM-resident views; 'hbm' = HBM-resident views with
+        # DMA-staged chunks (codes too large for VMEM, e.g. DVB-S2 N=64800);
+        # 'auto' picks fused > hbm > xla on TPU.
         self._fused_decoder = None
         if decoder == "ib" and backend != "xla":
             from ..kernels.ib_lut_fused import FusedIBDecoder, pick_batch_tile
+            from ..kernels.ib_lut_hbm import HBMFusedIBDecoder, hbm_supported
 
             bt = None
             if trellis.host is not None:
@@ -166,22 +170,36 @@ class BERSimulator:
                     trellis.host.cardinality_t_decoder,
                     min(128, self.batch_per_device),
                 )
-            ok = bt is not None
-            if backend == "fused" and not ok:
+            if backend == "fused" and bt is None:
                 raise ValueError(
                     "backend='fused' requested but the layout/tables do not "
-                    "support the fused kernel"
+                    "support the all-VMEM fused kernel"
                 )
-            if ok and (
-                backend == "fused" or jax.default_backend() == "tpu"
+            if backend == "hbm" and not (
+                trellis.host is not None and hbm_supported(layout)
             ):
-                self._fused_decoder = FusedIBDecoder(
-                    layout,
-                    trellis.host,
-                    max_iters=self.max_iters,
-                    early_exit=self.early_exit,
-                    batch_tile=bt,
+                raise ValueError(
+                    "backend='hbm' requested but the layout routing does not "
+                    "run-decompose (or host tables are missing)"
                 )
+            kw = dict(max_iters=self.max_iters, early_exit=self.early_exit)
+            if backend == "fused":
+                self._fused_decoder = FusedIBDecoder(
+                    layout, trellis.host, batch_tile=bt, **kw
+                )
+            elif backend == "hbm":
+                self._fused_decoder = HBMFusedIBDecoder(
+                    layout, trellis.host, **kw
+                )
+            elif jax.default_backend() == "tpu" and trellis.host is not None:
+                if bt is not None:
+                    self._fused_decoder = FusedIBDecoder(
+                        layout, trellis.host, batch_tile=bt, **kw
+                    )
+                elif hbm_supported(layout):
+                    self._fused_decoder = HBMFusedIBDecoder(
+                        layout, trellis.host, **kw
+                    )
 
         self._step = self._build_step()
         self._quant_cache: dict[float, DeviceQuantizerTables] = {}

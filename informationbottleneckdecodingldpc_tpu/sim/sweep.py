@@ -36,12 +36,22 @@ class SweepController:
     schedule: SweepSchedule
     results_path: str | None = None
     verbose: bool = True
+    # Multihost: every process must replay the identical sweep schedule (all
+    # collectives are issued inside the jitted step, so a process resuming
+    # from different state would desynchronize the psum programs). Process 0
+    # reads the results file and broadcasts it as ``resume_state``; non-zero
+    # processes resume from that state with ``write_results=False``.
+    write_results: bool = True
+    resume_state: dict | None = None
 
     def run(self) -> list[PointResult]:
         sched = self.schedule
         results: list[PointResult] = []
         partial: dict | None = None
-        if self.results_path and os.path.exists(self.results_path):
+        if self.resume_state is not None:
+            results = [PointResult(**p) for p in self.resume_state.get("points", [])]
+            partial = self.resume_state.get("partial")
+        elif self.results_path and os.path.exists(self.results_path):
             results = load_results(self.results_path)
             partial = load_partial(self.results_path)
             if self.verbose and results:
@@ -76,7 +86,8 @@ class SweepController:
 
             def persist_partial(state: PointCheckpoint):
                 if (
-                    self.results_path
+                    self.write_results
+                    and self.results_path
                     and state.step_index % sched.checkpoint_every_steps == 0
                 ):
                     save_results(
@@ -99,6 +110,6 @@ class SweepController:
                     f"FER={point.fer:.3e} blocks={point.blocks} "
                     f"coded_bps={point.coded_bits_per_s:.3e}"
                 )
-            if self.results_path:
+            if self.write_results and self.results_path:
                 save_results(self.results_path, results)
         return results

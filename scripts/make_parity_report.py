@@ -4,10 +4,13 @@ The acceptance criterion (BASELINE.md:20-29, VERDICT round-1 #1): BER curves
 at the reference operating points, with the IB-vs-benchmark relationships the
 reference's papers publish ([LB18]: discrete IB decoders within ~0.1-0.3 dB
 of belief propagation, clearly outperforming min-sum; |T|=32 closing the gap
-further).
+further). Every point carries its error count and a 95% confidence interval
+(round-2 verdict #3: no silently-thin tails), and the near-threshold
+design-point analysis (results/THRESHOLDS.json) is summarized in place.
 """
 
 import json
+import math
 import os
 
 SWEEPS = [
@@ -15,10 +18,11 @@ SWEEPS = [
     ("wlan_ib_T32_enc", "WLAN 802.11n N=1296 — IB LUT |T|=32, encoded chain, i_max=50"),
     ("wlan_bp_enc", "WLAN 802.11n N=1296 — quantized BP (16-level LLR), encoded chain"),
     ("wlan_minsum_enc", "WLAN 802.11n N=1296 — min-sum (16-level LLR), encoded chain"),
-    ("regular_ib_allzero", "Regular (3,6) N=8000 — IB LUT |T|=16 designed @1.05 dB (reference sim's pkl; DE stalls at MI 0.74 at this design point), all-zeros, i_max=250"),
-    ("regular_ib_d125", "Regular (3,6) N=8000 — IB LUT |T|=16 designed @1.25 dB (reference config-gen example; DE converges, MI 1.0), all-zeros, i_max=250"),
+    ("regular_ib_allzero", "Regular (3,6) N=8000 — IB LUT |T|=16 designed @1.05 dB with exact-DP DE (the reference sim's operating point; BELOW the |T|=16 DE threshold — see design-point analysis), all-zeros, i_max=250"),
+    ("regular_ib_sib105", "Regular (3,6) N=8000 — IB LUT |T|=16 designed @1.05 dB with the reference's randomized-sIB DE (nror=10), all-zeros, i_max=250"),
+    ("regular_ib_d125", "Regular (3,6) N=8000 — IB LUT |T|=16 designed @1.25 dB (above threshold, DE converges, MI 1.0), all-zeros, i_max=250"),
     ("regular_minsum", "Regular (3,6) N=8000 — min-sum benchmark, i_max=50"),
-    ("dvbs2_ib_enc", "DVB-S2 N=64800 (ETSI matrix) — IB LUT |T|=16 designed @0.6 dB (reference setting; its DE stalls at MI 0.68 within i_max=50, capping the decoder), encoded chain"),
+    ("dvbs2_ib_enc", "DVB-S2 N=64800 (ETSI matrix) — IB LUT |T|=16 designed @0.6 dB (reference setting; below the |T|=16 DE threshold — see design-point analysis), encoded chain"),
     ("dvbs2_ib_enc_d08", "DVB-S2 N=64800 (ETSI matrix) — IB LUT |T|=16 designed @0.8 dB (converged DE, MI 0.957), encoded chain, i_max=50"),
     ("dvbs2_minsum", "DVB-S2 N=64800 (ETSI matrix) — min-sum benchmark, i_max=50"),
 ]
@@ -31,10 +35,14 @@ def load(name):
     return json.load(open(p))["points"]
 
 
+def ci95(p):
+    """95% relative half-width of the BER estimate (Poisson errors)."""
+    n = p["errors"]
+    return 1.96 / math.sqrt(n) if n > 0 else float("inf")
+
+
 def interp_db_at_ber(points, target):
     """Eb/N0 at which the curve crosses `target` (log-linear interpolation)."""
-    import math
-
     prev = None
     for p in points:
         if p["ber"] <= target and prev and prev["ber"] > target:
@@ -46,6 +54,83 @@ def interp_db_at_ber(points, target):
     return None
 
 
+def design_point_section():
+    path = "results/THRESHOLDS.json"
+    if not os.path.exists(path):
+        return ["_(results/THRESHOLDS.json not yet generated)_", ""]
+    t = json.load(open(path))
+    reg = t.get("regular_1.05_T16_trajectories_final", {})
+    dvb = t.get("dvbs2_0.6_T16_trajectories_final", {})
+    o = [
+        "The reference simulates the regular code from a config generated at",
+        "1.05 dB (Regular_LDPC_Decoding/BPSK/BER_simulation_OpenCL.py:35-42) and",
+        "generates DVB-S2 configs from 0.6 dB (DVB-S2/decoder_config_generation.py:20).",
+        "At both points the discrete DE stalls (MI plateaus < 1). The stall is",
+        "**physical — the design points are below the |T|=16 DE threshold — not",
+        "an artifact of the exact-DP compression backend** (round-2 open",
+        "question). Evidence (scripts/threshold_analysis.py, results/THRESHOLDS.json):",
+        "",
+        "1. **Backend comparison at the design points.** Final DE MI after the",
+        "   full iteration budget, exact DP vs the reference's randomized",
+        "   sequential sIB (nror=10, three seeds):",
+        "",
+        "   | design point | DP | " + " | ".join(
+            k for k in sorted(reg) if k != "dp") + " |",
+        "   |---|---|" + "---|" * 3,
+        "   | regular 1.05 dB (i_max=250) | " + " | ".join(
+            f"{reg.get(k, float('nan')):.4f}" for k in ["dp"] + sorted(
+                k for k in reg if k != "dp")) + " |",
+        "   | DVB-S2 0.6 dB (i_max=50) | " + " | ".join(
+            f"{dvb.get(k, float('nan')):.4f}" for k in ["dp"] + sorted(
+                k for k in dvb if k != "dp")) + " |",
+        "",
+        "   Every randomized trajectory stalls at (slightly below) the DP",
+        "   plateau — the reference's own construction stack cannot converge",
+        "   there either. Full trajectories: results/de_trajectories_*.npz.",
+        "",
+        "2. **DE convergence thresholds** (bisection, MI >= 0.999 within the",
+        "   iteration budget):",
+        "",
+        "   | ensemble | backend / |T| | threshold (dB) | design point |",
+        "   |---|---|---|---|",
+    ]
+
+    def row(label, key, design):
+        v = t.get(key)
+        return (f"   | {label} | {v:.3f} | {design} |" if v is not None else None)
+
+    rows = [
+        row("regular (3,6), i_max=250 | DP, T=16", "regular_T16_dp_threshold_db", "1.05 (below)"),
+        row("regular (3,6), i_max=250 | sIB nror=10, T=16", "regular_T16_sib_threshold_db", "1.05 (below)"),
+        row("regular (3,6), i_max=250 | DP, T=32", "regular_T32_dp_threshold_db", "—"),
+        row("DVB-S2 R=1/2, i_max=50 | DP, T=16", "dvbs2_T16_dp_threshold_db", "0.6 (below)"),
+        row("DVB-S2 R=1/2, i_max=50 | sIB nror=10, T=16", "dvbs2_T16_sib_threshold_db", "0.6 (below)"),
+        row("DVB-S2 R=1/2, i_max=50 | DP, T=32", "dvbs2_T32_dp_threshold_db", "—"),
+    ]
+    o += [r for r in rows if r]
+    o += [
+        "",
+        "3. **Information-theoretic floor.** Quantized message passing is a",
+        "   degraded version of continuous BP (each IB compression is a",
+        "   T -> T' deterministic map; data-processing inequality), so the",
+        "   |T|=16 DE threshold is lower-bounded by the ensemble's continuous",
+        "   BP threshold: for regular (3,6), sigma* = 0.8809 ",
+        "   (Richardson & Urbanke) = **1.102 dB** — already above the 1.05 dB",
+        "   design point before any quantization loss. The measured |T|=32",
+        "   threshold sits between the |T|=16 one and this bound, as it must.",
+        "",
+        "Consequence: decoders built at 1.05 dB / 0.6 dB carry stalled-DE late",
+        "iterations and show error floors (curves below) with *either*",
+        "backend; the working operating points are the converged designs",
+        "(regular 1.25 dB, DVB-S2 0.8 dB), also included. The reference would",
+        "produce the same floors from these configs; its papers' regular-code",
+        "curves correspond to designs at/above threshold (the config-gen",
+        "example itself uses 1.25 dB, decoder_config_generation.py:16-39).",
+        "",
+    ]
+    return o
+
+
 def main():
     out = ["# PARITY — BER curves at the reference operating points", ""]
     out += [
@@ -55,8 +140,13 @@ def main():
         "encode -> BPSK -> AWGN -> |T_ch|-level IB quantizer -> decode; error",
         "counting on systematic bits; reference stopping rule min_errors per",
         "point). Raw points: `results/ber/*.json`, curves: `results/ber/*.png`.",
+        "`±95%` is the relative 95% confidence half-width of the BER estimate",
+        "(1.96/sqrt(errors)); regenerate everything with `python scripts/queue.py`.",
         "",
     ]
+    out.append("## Near-threshold design points (1.05 dB regular / 0.6 dB DVB-S2)\n")
+    out += design_point_section()
+
     curves = {}
     for name, title in SWEEPS:
         pts = load(name)
@@ -65,11 +155,12 @@ def main():
             continue
         curves[name] = pts
         out.append(f"## {title}\n")
-        out.append("| Eb/N0 (dB) | BER | FER | blocks | coded Mbit/s |")
-        out.append("|---|---|---|---|---|")
+        out.append("| Eb/N0 (dB) | BER | ±95% | errors | FER | blocks | coded Mbit/s |")
+        out.append("|---|---|---|---|---|---|---|")
         for p in pts:
             out.append(
-                f"| {p['ebn0_db']:.1f} | {p['ber']:.3e} | {p['fer']:.3e} "
+                f"| {p['ebn0_db']:.1f} | {p['ber']:.3e} | ±{ci95(p)*100:.0f}% "
+                f"| {p['errors']} | {p['fer']:.3e} "
                 f"| {p['blocks']} | {p['coded_bits_per_s']/1e6:.1f} |"
             )
         out.append("")
@@ -101,8 +192,8 @@ def main():
     out.append("## Regular (3,6) N=8000 and DVB-S2 N=64800 gaps vs min-sum\n")
     out.append("| Curve | Eb/N0 @ BER 1e-4 (dB) |")
     out.append("|---|---|")
-    for name in ("regular_ib_d125", "regular_ib_allzero", "regular_minsum",
-                 "dvbs2_ib_enc_d08", "dvbs2_minsum"):
+    for name in ("regular_ib_d125", "regular_ib_allzero", "regular_ib_sib105",
+                 "regular_minsum", "dvbs2_ib_enc_d08", "dvbs2_minsum"):
         if name not in curves:
             continue
         db = interp_db_at_ber(curves[name], 1e-4)
@@ -113,7 +204,7 @@ def main():
     out.append("")
     out.append(
         "DVB-S2 note: the IB decoder designed at the converged 0.8 dB point"
-        " shows the expected N=64800 cliff (BER 2.6e-4 at 1.0 dB, 7.0e-8 at"
+        " shows the expected N=64800 cliff (BER 2.6e-4 at 1.0 dB, ~7e-8 at"
         " 1.1 dB); 16-level min-sum is still at BER ~0.12 at 1.3 dB — a"
         " large gap at any measurable BER, consistent with [LB18]'s DVB-S2"
         " results. The regular IB decoder (converged 1.25 dB design) beats"
@@ -122,8 +213,7 @@ def main():
     out.append("")
     with open("PARITY.md", "w") as f:
         f.write("\n".join(out))
-    print("\n".join(out[:6]))
-    print(f"... wrote PARITY.md with {len(curves)} curves")
+    print(f"wrote PARITY.md with {len(curves)} curves")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,170 @@
+"""Near-threshold design-point analysis (round-2 verdict #2).
+
+Question: at the reference's published operating points (regular (3,6) at
+design Eb/N0 = 1.05 dB, Regular_LDPC_Decoding/BPSK/BER_simulation_OpenCL.py:35-42;
+DVB-S2 at 0.6 dB, DVB-S2/decoder_config_generation.py:20) the discrete DE
+stalls (MI plateaus < 1). Is the stall an artifact of the exact-DP
+compression backend, or physical (the design point is below the quantized-DE
+threshold — in which case the reference's randomized-sIB DE stalls too)?
+
+Three pieces of evidence, all committed to results/THRESHOLDS.json:
+
+1. Backend comparison: run the DE at the published design points with both
+   backends — exact DP and the reference's randomized sequential sIB
+   (nror=10, several seeds) — and record the full MI trajectories. If the
+   randomized trajectories stall at (or below) the DP trajectory, the stall
+   is not a DP artifact: per-step the DP MI dominates every sIB restart by
+   construction, and the observed trajectories show no crossover.
+2. DE convergence thresholds by bisection, per backend: the smallest design
+   Eb/N0 where the DE reaches MI >= 0.999 within i_max. The |T|=16 threshold
+   sits ABOVE the ensemble's continuous-BP threshold by data processing
+   (every IB compression is a degradation of the BP message), so for the
+   regular (3,6) ensemble, threshold >= 1.102 dB (sigma* = 0.8809,
+   Richardson/Urbanke) — already above the 1.05 dB design point before any
+   quantization loss is counted.
+3. A higher-resolution |T|=32 DE threshold as a bridge toward the
+   continuous-BP threshold (monotone in |T| by data processing), tying 2.'s
+   literature number to this codebase's own machinery.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from informationbottleneckdecodingldpc_tpu.channel.awgn import sigma2_from_ebn0_db
+from informationbottleneckdecodingldpc_tpu.channel.quantizer import (
+    build_quantizer_tables,
+)
+from informationbottleneckdecodingldpc_tpu.codes.ensembles import (
+    code_rate_from_distributions,
+    node_degree_distributions,
+    node_to_edge_distribution,
+)
+from informationbottleneckdecodingldpc_tpu.construct.density_evolution import (
+    DiscreteDensityEvolution,
+)
+from informationbottleneckdecodingldpc_tpu.construct.density_evolution_irreg import (
+    DiscreteDensityEvolutionIrregular,
+)
+
+MI_CONVERGED = 0.999
+
+
+def run_de(kind, ebn0, t_dec, i_max, backend, seed=0, nror=10, t_ch=16,
+           lam=None, rho=None, rate=0.5):
+    sigma2 = float(sigma2_from_ebn0_db(ebn0, rate))
+    qt = build_quantizer_tables(sigma2, 3.0, t_ch, 2000)
+    kw = dict(ib_backend=backend, ib_nror=nror, ib_seed=seed)
+    if kind == "regular":
+        de = DiscreteDensityEvolution(qt.p_x_and_t, t_dec, 3, 6, i_max, **kw)
+    else:
+        de = DiscreteDensityEvolutionIrregular(
+            qt.p_x_and_t, t_dec, lam, rho, i_max, **kw
+        )
+    _, diag = de.run()
+    return diag.ext_mi_varnode_in
+
+
+def converged(mi):
+    return bool(mi[-1] >= MI_CONVERGED)
+
+
+def bisect_threshold(kind, t_dec, i_max, backend, lo, hi, tol=0.01, **kw):
+    """Smallest design Eb/N0 (within tol dB) whose DE converges."""
+    assert not converged(run_de(kind, lo, t_dec, i_max, backend, **kw))
+    assert converged(run_de(kind, hi, t_dec, i_max, backend, **kw))
+    while hi - lo > tol:
+        mid = 0.5 * (lo + hi)
+        if converged(run_de(kind, mid, t_dec, i_max, backend, **kw)):
+            hi = mid
+        else:
+            lo = mid
+        print(f"  bisect [{lo:.4f}, {hi:.4f}]", flush=True)
+    return hi
+
+
+def main():
+    out = {"mi_converged_def": MI_CONVERGED}
+
+    from informationbottleneckdecodingldpc_tpu.codes import dvbs2_parity_check
+    from informationbottleneckdecodingldpc_tpu.codes.graph import TannerGraph
+
+    H = dvbs2_parity_check("1/2", 64800)
+    g = TannerGraph.from_check_matrix(H)
+    dvd, dcd = node_degree_distributions(g.vn_degree, g.cn_degree)
+    lam = node_to_edge_distribution(dvd)
+    rho = node_to_edge_distribution(dcd)
+    dv_rate = code_rate_from_distributions(dvd, dcd)
+    irr_kw = dict(lam=lam, rho=rho, rate=dv_rate)
+
+    # --- 1. design-point MI trajectories, both backends ------------------
+    print("== regular (3,6) @ 1.05 dB, i_max=250 ==", flush=True)
+    traj = {"dp": run_de("regular", 1.05, 16, 250, "dp").tolist()}
+    for s in (0, 1, 2):
+        traj[f"sib_seed{s}"] = run_de(
+            "regular", 1.05, 16, 250, "sib", seed=1000 * s
+        ).tolist()
+        print(f"  sib seed {s}: final MI {traj[f'sib_seed{s}'][-1]:.6f}",
+              flush=True)
+    print(f"  dp: final MI {traj['dp'][-1]:.6f}", flush=True)
+    out["regular_1.05_T16_trajectories_final"] = {
+        k: v[-1] for k, v in traj.items()
+    }
+    np.savez_compressed(
+        "results/de_trajectories_regular_1.05.npz",
+        **{k: np.asarray(v) for k, v in traj.items()},
+    )
+
+    print("== dvbs2 @ 0.6 dB, i_max=50 ==", flush=True)
+    traj_d = {"dp": run_de("irr", 0.6, 16, 50, "dp", **irr_kw).tolist()}
+    for s in (0, 1, 2):
+        traj_d[f"sib_seed{s}"] = run_de(
+            "irr", 0.6, 16, 50, "sib", seed=1000 * s, **irr_kw
+        ).tolist()
+        print(f"  sib seed {s}: final MI {traj_d[f'sib_seed{s}'][-1]:.6f}",
+              flush=True)
+    print(f"  dp: final MI {traj_d['dp'][-1]:.6f}", flush=True)
+    out["dvbs2_0.6_T16_trajectories_final"] = {k: v[-1] for k, v in traj_d.items()}
+    np.savez_compressed(
+        "results/de_trajectories_dvbs2_0.6.npz",
+        **{k: np.asarray(v) for k, v in traj_d.items()},
+    )
+
+    # --- 2. thresholds by bisection --------------------------------------
+    print("== thresholds: regular (3,6) ==", flush=True)
+    out["regular_T16_dp_threshold_db"] = bisect_threshold(
+        "regular", 16, 250, "dp", 1.0, 1.6
+    )
+    out["regular_T16_sib_threshold_db"] = bisect_threshold(
+        "regular", 16, 250, "sib", 1.0, 1.8
+    )
+    # |T|=32 alphabets: threshold decreases monotonically toward the
+    # continuous-BP value (literature: sigma* = 0.8809 => 1.102 dB for (3,6)).
+    out["regular_T32_dp_threshold_db"] = bisect_threshold(
+        "regular", 32, 250, "dp", 1.0, 1.6, t_ch=32
+    )
+    out["regular_bp_threshold_literature_db"] = 1.102
+
+    print("== thresholds: dvbs2 R=1/2 ==", flush=True)
+    out["dvbs2_T16_dp_threshold_db"] = bisect_threshold(
+        "irr", 16, 50, "dp", 0.4, 1.2, **irr_kw
+    )
+    out["dvbs2_T16_sib_threshold_db"] = bisect_threshold(
+        "irr", 16, 50, "sib", 0.4, 1.4, **irr_kw
+    )
+    out["dvbs2_T32_dp_threshold_db"] = bisect_threshold(
+        "irr", 32, 50, "dp", 0.3, 1.2, t_ch=32, **irr_kw
+    )
+
+    os.makedirs("results", exist_ok=True)
+    with open("results/THRESHOLDS.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
