@@ -10,6 +10,7 @@ from .modulation import (
     qam_map,
 )
 from .awgn import awgn_transmit, sigma2_from_ebn0_db, ebn0_db_from_sigma2
+from .demap import mpsk_bit_llrs, n0_from_sigma2, qam_bit_llrs
 from .quantizer import AWGNChannelQuantizer, QuantizerTables
 
 __all__ = [
@@ -23,6 +24,9 @@ __all__ = [
     "awgn_transmit",
     "sigma2_from_ebn0_db",
     "ebn0_db_from_sigma2",
+    "qam_bit_llrs",
+    "mpsk_bit_llrs",
+    "n0_from_sigma2",
     "AWGNChannelQuantizer",
     "QuantizerTables",
 ]

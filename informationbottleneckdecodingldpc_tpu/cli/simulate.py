@@ -30,6 +30,11 @@ def main(argv=None):
     p.add_argument("--config", default=None, help="decoder config .npz (ib)")
     p.add_argument("--chain", choices=["allzero", "encoded"], default="allzero")
     p.add_argument("--llr-source", choices=["quantized", "true"], default="quantized")
+    p.add_argument("--modulation", default="bpsk",
+                   help="bpsk (default) | qam<M> | psk<M>, e.g. qam16, psk8; "
+                        "M-ary runs the encoded chain into a float decoder "
+                        "via the exact soft demapper (implies "
+                        "--llr-source true)")
     p.add_argument("--start-db", type=float, default=0.0)
     p.add_argument("--max-db", type=float, default=None)
     p.add_argument("--step-db", type=float, default=0.1)
@@ -94,13 +99,35 @@ def main(argv=None):
 
     encoder = LDPCEncoder(H) if args.chain == "encoded" else None
 
+    modulation, mod_order, llr_source = "bpsk", 2, args.llr_source
+    if args.modulation != "bpsk":
+        import math
+        import re
+
+        m = re.fullmatch(r"(qam|psk)(\d+)", args.modulation)
+        if not m:
+            p.error(f"unrecognized --modulation {args.modulation!r}")
+        M = int(m.group(2))
+        if M < 4 or (M & (M - 1)):
+            p.error("modulation order must be a power of two >= 4")
+        if m.group(1) == "qam":
+            sqrt_m = math.isqrt(M)
+            if sqrt_m * sqrt_m != M:
+                p.error("qam order must be a perfect square (square QAM)")
+            modulation, mod_order = "qam", sqrt_m
+        else:
+            modulation, mod_order = "mpsk", M
+        llr_source = "true"
+
     sim = BERSimulator(
         layout,
         args.decoder,
         trellis=trellis,
         max_iters=args.max_iters or spec.decode_i_max,
         chain=args.chain,
-        llr_source=args.llr_source,
+        llr_source=llr_source,
+        modulation=modulation,
+        mod_order=mod_order,
         count_all_bits=spec.count_all_bits and args.chain == "allzero",
         cardinality_t_channel=cardinality_t_channel,
         batch_per_device=args.batch_per_device or spec.batch_hint,

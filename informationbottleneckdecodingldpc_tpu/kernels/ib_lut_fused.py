@@ -50,6 +50,7 @@ from ..ops.lut_fold import (
     vector_lookup_words,
     vn_lut_full_fold,
     vn_lut_leave_one_out,
+    words_per_column,
 )
 
 # An unrolled VMEM copy per run: keep the op count (and Mosaic compile time)
@@ -196,7 +197,7 @@ def vmem_estimate(layout: DecodeLayout, batch_tile: int, t_decoder: int = 16) ->
     peak per-group fold working set. Groups stream through node chunks
     bounded by GROUP_VMEM_BUDGET, so the fold term is capped; the views set
     the floor."""
-    W = -(-t_decoder // (32 // _field_bits(t_decoder)))
+    W = words_per_column(t_decoder, _field_bits(t_decoder))
     plane = max(batch_tile, 128) * 4
     scratch = (2 * (layout.n_edges + layout.n_vars) + 2 * layout.n_vars) * plane
     io = 2 * layout.n_vars * plane
@@ -309,7 +310,7 @@ def _build_kernel(
     # Route-on-write: CN outputs scatter straight into the VN view and vice
     # versa (per-plane runs of to_vn/to_cn), replacing full-view copies.
     # Node-dimension chunking bounds the per-group fold working set.
-    W_words = -(-pt.t_decoder // (32 // pt.fb))
+    W_words = words_per_column(pt.t_decoder, pt.fb)
     cn_chunks = _group_chunk_counts(layout.cn_groups, W_words, Bt, extra_op=0)
     vn_chunks = _group_chunk_counts(layout.vn_groups, W_words, Bt, extra_op=1)
     cn_scatter = _scatter_runs(layout.to_vn, layout.cn_groups, cn_chunks)

@@ -47,6 +47,7 @@ from ..ops.lut_fold import (
     vector_lookup_words,
     vn_lut_full_fold,
     vn_lut_leave_one_out,
+    words_per_column,
 )
 from .ib_lut_fused import (
     _PackedTables,
@@ -147,7 +148,7 @@ def _build_hbm_kernel(
     thresh = T // 2
     n_vars, n_edges = layout.n_vars, layout.n_edges
 
-    W_words = -(-T // (32 // fb))
+    W_words = words_per_column(T, fb)
     cn_chunks = _group_chunk_counts(layout.cn_groups, W_words, Bt, extra_op=0)
     vn_chunks = _group_chunk_counts(layout.vn_groups, W_words, Bt, extra_op=1)
     cn_scatter = _scatter_runs(layout.to_vn, layout.cn_groups, cn_chunks)

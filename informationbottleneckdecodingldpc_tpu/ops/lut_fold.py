@@ -34,6 +34,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _FORCE_MODE: str | None = None  # test hook: 'take' | 'select' | 'packed' | None
 
@@ -100,7 +101,24 @@ def _mode(vmax: int | None) -> str:
 
 
 def _field_bits(vmax: int) -> int:
-    return 4 if vmax <= 16 else 8  # per-word fields: 8 or 4 (shift/mod stay bit ops)
+    """Field layout selector for packed columns, keyed by the LUT *value*
+    bound. 4 = nibble fields (8/word); 8 = byte fields (4/word); 5 = SPLIT
+    packing for 16 < vmax <= 32: the value's low nibble in fb=4 words plus
+    its high bit in one fb=1 word — ceil(T0/8)+ceil(T0/32) words per column
+    instead of byte-packing's ceil(T0/4), which cuts the dominant
+    column-select cost ~40% for |T|=32 decoders (round-2 verdict #6)."""
+    if vmax <= 16:
+        return 4
+    if vmax <= 32:
+        return 5
+    return 8
+
+
+def words_per_column(t0: int, fb: int) -> int:
+    """Packed words per LUT column for an ``a``-domain of size t0."""
+    if fb == 5:
+        return -(-t0 // 8) + (-(-t0 // 32))
+    return -(-t0 // (32 // fb))
 
 
 def pairwise_lookup(
@@ -159,6 +177,17 @@ def pack_lut_batch(tables, vmax: int):
 
     tables = np.asarray(tables)
     fb = _field_bits(vmax)
+    if fb == 5:  # split packing: low nibbles + high-bit plane (see _field_bits)
+        return np.concatenate(
+            [_pack_batch(tables & 15, 4), _pack_batch(tables >> 4, 1)],
+            axis=-2,
+        )
+    return _pack_batch(tables, fb)
+
+
+def _pack_batch(tables, fb: int):
+    import numpy as np
+
     per = 32 // fb
     t0, t1 = tables.shape[-2], tables.shape[-1]
     w = -(-t0 // per)
@@ -183,8 +212,13 @@ def pack_lut_batch(tables, vmax: int):
 
 def _pack_lut(lut: jnp.ndarray, field_bits: int) -> jnp.ndarray:
     """[T0, T1] int LUT -> [W, T1] int32, ``32/field_bits`` fields per word
-    packed along the first (a) axis. Overflow into the sign bit wraps; the
-    extraction mask makes that harmless."""
+    packed along the first (a) axis (field_bits == 5: split packing, low
+    nibbles then the high-bit word — see _field_bits). Overflow into the
+    sign bit wraps; the extraction mask makes that harmless."""
+    if field_bits == 5:
+        return jnp.concatenate(
+            [_pack_lut(lut & 15, 4), _pack_lut(lut >> 4, 1)], axis=0
+        )
     per = 32 // field_bits
     t0, t1 = lut.shape
     w = -(-t0 // per)
@@ -194,8 +228,12 @@ def _pack_lut(lut: jnp.ndarray, field_bits: int) -> jnp.ndarray:
             [lut, jnp.zeros((w * per - t0, t1), jnp.int32)], axis=0
         )
     r = lut.reshape(w, per, t1)
+    # Two's-complement wrap keeps 1 << 31 (fb=1, top bit) representable.
     weights = jnp.asarray(
-        [1 << (field_bits * k) for k in range(per)], jnp.int32
+        np.asarray(
+            [(1 << (field_bits * k)) & 0xFFFFFFFF for k in range(per)],
+            np.uint32,
+        ).view(np.int32)
     )[None, :, None]
     return jnp.sum(r * weights, axis=1)
 
@@ -220,7 +258,29 @@ def _select_columns(packed: jnp.ndarray, b: jnp.ndarray) -> list[jnp.ndarray]:
 
 
 def _extract(cols: list[jnp.ndarray], a: jnp.ndarray, field_bits: int) -> jnp.ndarray:
-    """out = field ``a`` of the packed column: word select + variable shift."""
+    """out = field ``a`` of the packed column: word select + variable shift.
+
+    field_bits == 5 (split packing): cols[:-1] hold the value's low nibble
+    (fb=4), cols[-1] its high bit (fb=1, 32 bits/word)."""
+    if field_bits == 5:
+        low_cols, hi = cols[:-1], cols[-1]
+        if _OP_COUNTS is not None:
+            n = _numel(a)
+            _OP_COUNTS["sel"] += (len(low_cols) - 1) * n
+            _OP_COUNTS["cmp"] += (len(low_cols) - 1) * n
+            # low: shift-sel + shift + mul + and + and; high: and + shift +
+            # and + shift; combine: or.
+            _OP_COUNTS["bit"] += (10 if len(low_cols) > 1 else 9) * n
+        if len(low_cols) == 1:
+            word = low_cols[0]
+        else:
+            wsel = a >> 3
+            word = low_cols[0]
+            for k in range(1, len(low_cols)):
+                word = jnp.where(wsel == k, low_cols[k], word)
+        low = (word >> (4 * (a & 7))) & 15
+        high = (hi >> (a & 31)) & 1
+        return low | (high << 4)
     per = 32 // field_bits
     shift_bits = per.bit_length() - 1  # per is 8 or 4
     if _OP_COUNTS is not None:

@@ -18,6 +18,13 @@ Chains:
 - ``encoded``: random info bits -> GF(2) encode -> BPSK -> AWGN -> threshold
   quantize -> decode, errors counted against the transmitted bits
   (BER_simulation_OpenCL_enc.py:120-135).
+
+Modulations: BPSK is the primary chain (the only one whose construction path
+works in the reference, SURVEY.md §7.4). ``modulation='qam'|'mpsk'`` runs the
+encoded chain through the I/Q mappers (channel.modulation) and the exact
+soft demapper (channel.demap) into the float decoders — the end-to-end M-ary
+path the reference intended but left broken (AWGN_Quantizer_Mary absent,
+AWGN_Discrete_Density_Evolution.py:6-7).
 """
 
 from __future__ import annotations
@@ -32,7 +39,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..channel.awgn import sigma2_from_ebn0_db
-from ..channel.modulation import bpsk_map
+from ..channel.demap import mpsk_bit_llrs, n0_from_sigma2, qam_bit_llrs
+from ..channel.modulation import bpsk_map, gray_encoding_table, mpsk_map, qam_map
 from ..channel.quantizer import (
     DeviceQuantizerTables,
     build_quantizer_tables,
@@ -104,6 +112,8 @@ class BERSimulator:
         seed: int = 0,
         backend: str = "auto",  # 'auto' | 'xla' | 'fused' | 'hbm' (ib only)
         steps_per_dispatch: int = 1,
+        modulation: str = "bpsk",  # 'bpsk' | 'qam' | 'mpsk'
+        mod_order: int = 2,  # sqrt(M) for QAM, M for MPSK
     ):
         if decoder == "ib":
             if trellis is None:
@@ -124,6 +134,36 @@ class BERSimulator:
         self.batch_per_device = int(batch_per_device)
         self.early_exit = bool(early_exit)
         self.seed = int(seed)
+        self.modulation = modulation
+        self.mod_order = int(mod_order)
+        if modulation not in ("bpsk", "qam", "mpsk"):
+            raise ValueError(f"unknown modulation {modulation!r}")
+        if modulation != "bpsk":
+            # M-ary chains: float decoders on exact demapped LLRs (the IB
+            # construction path is BPSK-only, as in the reference).
+            if decoder == "ib" or llr_source != "true":
+                raise ValueError(
+                    "qam/mpsk require a float decoder with llr_source='true'"
+                )
+            if chain != "encoded":
+                raise ValueError(
+                    "qam/mpsk require the encoded chain (the all-zeros "
+                    "shortcut needs the BPSK/quantizer symmetry)"
+                )
+            k = (
+                2 * int(np.log2(self.mod_order))
+                if modulation == "qam"
+                else int(np.log2(self.mod_order))
+            )
+            if layout.n_vars % k:
+                raise ValueError(
+                    f"codeword length {layout.n_vars} not divisible by "
+                    f"{k} bits/symbol"
+                )
+            self._bits_per_symbol = k
+            self._encoding_table = gray_encoding_table(
+                k // 2 if modulation == "qam" else k
+            )
         # Monte-Carlo steps executed per device dispatch (lax.scan): amortizes
         # per-dispatch host->device latency, which dominates when one block is
         # small relative to the link (the reference pays the same cost per
@@ -288,14 +328,34 @@ class BERSimulator:
                 lambda kk: jax.random.bernoulli(kk, 0.5, (k,)), out_axes=1
             )(k_bits).astype(jnp.int8)
             codeword = self._encode_device(info)
-            y = bpsk_map(codeword) + jnp.sqrt(sigma2) * normal_plane(k_noise)
-            if self.decoder == "ib":
-                channel_input = quantize_with(qt.limits, y)
-            elif self.llr_source == "quantized":
-                channel_input = quantize_llr_with(qt.limits, qt.llrs, y)
-            else:
-                channel_input = 2.0 * y / sigma2
             ref_bits = codeword
+            if self.modulation != "bpsk":
+                mapper = qam_map if self.modulation == "qam" else mpsk_map
+                sym = mapper(codeword, self._encoding_table, self.mod_order)
+                n0 = n0_from_sigma2(sigma2, self._bits_per_symbol)
+                noise = jax.vmap(
+                    lambda kk: jax.random.normal(
+                        kk, (n_vars // self._bits_per_symbol, 2), jnp.float32
+                    ),
+                    out_axes=1,
+                )(k_noise)
+                y = sym + jnp.sqrt(n0 / 2.0) * noise
+                demap = (
+                    qam_bit_llrs if self.modulation == "qam" else mpsk_bit_llrs
+                )
+                channel_input = demap(
+                    y, self._encoding_table, self.mod_order, n0
+                )
+            else:
+                y = bpsk_map(codeword) + jnp.sqrt(sigma2) * normal_plane(
+                    k_noise
+                )
+                if self.decoder == "ib":
+                    channel_input = quantize_with(qt.limits, y)
+                elif self.llr_source == "quantized":
+                    channel_input = quantize_llr_with(qt.limits, qt.llrs, y)
+                else:
+                    channel_input = 2.0 * y / sigma2
 
         res = self._decode(channel_input, convergence_reduce)
         errors = self._count_errors(res.outputs, ref_bits)

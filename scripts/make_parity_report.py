@@ -25,6 +25,7 @@ SWEEPS = [
     ("dvbs2_ib_enc", "DVB-S2 N=64800 (ETSI matrix) — IB LUT |T|=16 designed @0.6 dB (reference setting; below the |T|=16 DE threshold — see design-point analysis), encoded chain"),
     ("dvbs2_ib_enc_d08", "DVB-S2 N=64800 (ETSI matrix) — IB LUT |T|=16 designed @0.8 dB (converged DE, MI 0.957), encoded chain, i_max=50"),
     ("dvbs2_minsum", "DVB-S2 N=64800 (ETSI matrix) — min-sum benchmark, i_max=50"),
+    ("wlan_minsum_qam16", "WLAN 802.11n N=1296 — min-sum over 16-QAM (exact soft demapper), encoded chain — the M-ary path the reference intended but left broken (AWGN_Quantizer_Mary absent)"),
 ]
 
 

@@ -116,6 +116,14 @@ SWEEPS = [
           "--model dvbs2-64800 --decoder minsum --chain allzero --start-db 0.6 "
           "--max-db 1.3 --min-errors 5000 --target-ber 1e-5 "
           "--max-blocks-per-point 200000 --batch-per-device 128 --seed 27"),
+    # M-ary chain (round-2 verdict #8): 16-QAM through the exact soft
+    # demapper into min-sum — the end-to-end path the reference intended but
+    # left broken (AWGN_Quantizer_Mary absent). Eb/N0 axis, so the curve is
+    # directly comparable against the BPSK min-sum benchmark.
+    Sweep("wlan_minsum_qam16",
+          "--model wlan-1296 --decoder minsum --chain encoded "
+          "--modulation qam16 --start-db 1.0 --max-db 4.5 --min-errors 7000 "
+          "--batch-per-device 512 --steps-per-dispatch 8 --seed 33"),
 ]
 
 

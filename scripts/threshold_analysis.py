@@ -35,6 +35,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+OUT_PATH = "results/THRESHOLDS.json"
+
 from informationbottleneckdecodingldpc_tpu.channel.awgn import sigma2_from_ebn0_db
 from informationbottleneckdecodingldpc_tpu.channel.quantizer import (
     build_quantizer_tables,
@@ -88,7 +90,20 @@ def bisect_threshold(kind, t_dec, i_max, backend, lo, hi, tol=0.01, **kw):
 
 
 def main():
+    # Incremental / resumable: reload prior results, skip finished pieces,
+    # save after every completed step (sIB bisections are ~20x slower than
+    # DP — a full run is hours on a 2-core host).
     out = {"mi_converged_def": MI_CONVERGED}
+    if os.path.exists(OUT_PATH):
+        with open(OUT_PATH) as f:
+            out.update(json.load(f))
+
+    def save():
+        os.makedirs("results", exist_ok=True)
+        tmp = OUT_PATH + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(out, f, indent=1)
+        os.replace(tmp, OUT_PATH)
 
     from informationbottleneckdecodingldpc_tpu.codes import dvbs2_parity_check
     from informationbottleneckdecodingldpc_tpu.codes.graph import TannerGraph
@@ -102,67 +117,70 @@ def main():
     irr_kw = dict(lam=lam, rho=rho, rate=dv_rate)
 
     # --- 1. design-point MI trajectories, both backends ------------------
+    def trajectories(tag, npz_path, runner):
+        key = f"{tag}_trajectories_final"
+        if os.path.exists(npz_path):
+            d = np.load(npz_path)
+            out[key] = {k: float(d[k][-1]) for k in d.keys()}
+            print(f"{tag}: trajectories loaded from {npz_path}", flush=True)
+            return
+        traj = {"dp": runner("dp", 0).tolist()}
+        for s in (0, 1, 2):
+            traj[f"sib_seed{s}"] = runner("sib", 1000 * s).tolist()
+            print(f"  sib seed {s}: final MI {traj[f'sib_seed{s}'][-1]:.6f}",
+                  flush=True)
+        print(f"  dp: final MI {traj['dp'][-1]:.6f}", flush=True)
+        out[key] = {k: v[-1] for k, v in traj.items()}
+        np.savez_compressed(
+            npz_path, **{k: np.asarray(v) for k, v in traj.items()}
+        )
+        save()
+
     print("== regular (3,6) @ 1.05 dB, i_max=250 ==", flush=True)
-    traj = {"dp": run_de("regular", 1.05, 16, 250, "dp").tolist()}
-    for s in (0, 1, 2):
-        traj[f"sib_seed{s}"] = run_de(
-            "regular", 1.05, 16, 250, "sib", seed=1000 * s
-        ).tolist()
-        print(f"  sib seed {s}: final MI {traj[f'sib_seed{s}'][-1]:.6f}",
-              flush=True)
-    print(f"  dp: final MI {traj['dp'][-1]:.6f}", flush=True)
-    out["regular_1.05_T16_trajectories_final"] = {
-        k: v[-1] for k, v in traj.items()
-    }
-    np.savez_compressed(
+    trajectories(
+        "regular_1.05_T16",
         "results/de_trajectories_regular_1.05.npz",
-        **{k: np.asarray(v) for k, v in traj.items()},
+        lambda b, s: run_de("regular", 1.05, 16, 250, b, seed=s),
     )
-
     print("== dvbs2 @ 0.6 dB, i_max=50 ==", flush=True)
-    traj_d = {"dp": run_de("irr", 0.6, 16, 50, "dp", **irr_kw).tolist()}
-    for s in (0, 1, 2):
-        traj_d[f"sib_seed{s}"] = run_de(
-            "irr", 0.6, 16, 50, "sib", seed=1000 * s, **irr_kw
-        ).tolist()
-        print(f"  sib seed {s}: final MI {traj_d[f'sib_seed{s}'][-1]:.6f}",
-              flush=True)
-    print(f"  dp: final MI {traj_d['dp'][-1]:.6f}", flush=True)
-    out["dvbs2_0.6_T16_trajectories_final"] = {k: v[-1] for k, v in traj_d.items()}
-    np.savez_compressed(
+    trajectories(
+        "dvbs2_0.6_T16",
         "results/de_trajectories_dvbs2_0.6.npz",
-        **{k: np.asarray(v) for k, v in traj_d.items()},
+        lambda b, s: run_de("irr", 0.6, 16, 50, b, seed=s, **irr_kw),
     )
 
-    # --- 2. thresholds by bisection --------------------------------------
-    print("== thresholds: regular (3,6) ==", flush=True)
-    out["regular_T16_dp_threshold_db"] = bisect_threshold(
-        "regular", 16, 250, "dp", 1.0, 1.6
-    )
-    out["regular_T16_sib_threshold_db"] = bisect_threshold(
-        "regular", 16, 250, "sib", 1.0, 1.8
-    )
-    # |T|=32 alphabets: threshold decreases monotonically toward the
-    # continuous-BP value (literature: sigma* = 0.8809 => 1.102 dB for (3,6)).
-    out["regular_T32_dp_threshold_db"] = bisect_threshold(
-        "regular", 32, 250, "dp", 1.0, 1.6, t_ch=32
-    )
+    # --- 2. thresholds by bisection (each saved as it completes) ---------
+    # DP thresholds at 0.01 dB; sIB (20x slower per DE) at 0.05 dB — enough
+    # to place them relative to the design points and the DP thresholds.
     out["regular_bp_threshold_literature_db"] = 1.102
+    jobs = [
+        ("regular_T16_dp_threshold_db",
+         lambda: bisect_threshold("regular", 16, 250, "dp", 1.0, 1.6)),
+        # |T|=32 alphabets: threshold decreases monotonically toward the
+        # continuous-BP value (sigma* = 0.8809 => 1.102 dB for (3,6)).
+        ("regular_T32_dp_threshold_db",
+         lambda: bisect_threshold("regular", 32, 250, "dp", 1.0, 1.6, t_ch=32)),
+        ("dvbs2_T16_dp_threshold_db",
+         lambda: bisect_threshold("irr", 16, 50, "dp", 0.4, 1.2, **irr_kw)),
+        ("dvbs2_T32_dp_threshold_db",
+         lambda: bisect_threshold("irr", 32, 50, "dp", 0.3, 1.2, t_ch=32,
+                                  **irr_kw)),
+        ("regular_T16_sib_threshold_db",
+         lambda: bisect_threshold("regular", 16, 250, "sib", 1.0, 1.8,
+                                  tol=0.05)),
+        ("dvbs2_T16_sib_threshold_db",
+         lambda: bisect_threshold("irr", 16, 50, "sib", 0.4, 1.4, tol=0.05,
+                                  **irr_kw)),
+    ]
+    for key, job in jobs:
+        if key in out:
+            print(f"{key}: cached ({out[key]})", flush=True)
+            continue
+        print(f"== {key} ==", flush=True)
+        out[key] = job()
+        save()
 
-    print("== thresholds: dvbs2 R=1/2 ==", flush=True)
-    out["dvbs2_T16_dp_threshold_db"] = bisect_threshold(
-        "irr", 16, 50, "dp", 0.4, 1.2, **irr_kw
-    )
-    out["dvbs2_T16_sib_threshold_db"] = bisect_threshold(
-        "irr", 16, 50, "sib", 0.4, 1.4, **irr_kw
-    )
-    out["dvbs2_T32_dp_threshold_db"] = bisect_threshold(
-        "irr", 32, 50, "dp", 0.3, 1.2, t_ch=32, **irr_kw
-    )
-
-    os.makedirs("results", exist_ok=True)
-    with open("results/THRESHOLDS.json", "w") as f:
-        json.dump(out, f, indent=1)
+    save()
     print(json.dumps(out, indent=1))
 
 

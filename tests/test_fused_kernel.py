@@ -125,3 +125,28 @@ def test_engine_fused_backend_matches_xla(qc_setup):
     rf = sim_f.run_point(2.0, min_errors=1, max_blocks=16)
     assert rx.errors == rf.errors
     assert rx.frame_errors == rf.frame_errors
+
+
+def test_fused_bit_exact_t32_split_packing(rng):
+    """|T|=32 tables take the split 4+1-bit packing (lut_fold._field_bits):
+    fused kernel stays bit-exact vs the XLA path."""
+    H = regular_qc_parity_check(96, 3, 6, seed=11)
+    layout = DecodeLayout.from_graph(TannerGraph.from_check_matrix(H))
+    cfg = build_decoder_config(
+        design_ebn0_db=2.0,
+        cardinality_y_channel=400,
+        cardinality_t_channel=32,
+        cardinality_t_decoder=32,
+        i_max=4,
+        d_v=3,
+        d_c=6,
+    )
+    trellis = DeviceTrellis.from_tables(cfg.tables)
+    ch = jnp.asarray(rng.integers(0, 32, (layout.n_vars, 8)), jnp.int32)
+    ref = ib_lut_decode(layout, trellis, ch, early_exit=False)
+    fused = FusedIBDecoder(layout, cfg.tables, early_exit=False, batch_tile=8)
+    got = fused(ch)
+    assert np.array_equal(np.asarray(ref.outputs), np.asarray(got.outputs))
+    assert np.array_equal(
+        np.asarray(ref.unsatisfied), np.asarray(got.unsatisfied)
+    )
