@@ -92,7 +92,7 @@ def design_point_section():
         "2. **DE convergence thresholds** (bisection, MI >= 0.999 within the",
         "   iteration budget):",
         "",
-        "   | ensemble | backend / |T| | threshold (dB) | design point |",
+        "   | ensemble | backend / \\|T\\| | threshold (dB) | design point |",
         "   |---|---|---|---|",
     ]
 

@@ -71,17 +71,25 @@ def run_de(kind, ebn0, t_dec, i_max, backend, seed=0, nror=10, t_ch=16,
     return diag.ext_mi_varnode_in
 
 
-def converged(mi):
-    return bool(mi[-1] >= MI_CONVERGED)
+def converged(mi, conv=MI_CONVERGED):
+    return bool(mi[-1] >= conv)
 
 
-def bisect_threshold(kind, t_dec, i_max, backend, lo, hi, tol=0.01, **kw):
-    """Smallest design Eb/N0 (within tol dB) whose DE converges."""
-    assert not converged(run_de(kind, lo, t_dec, i_max, backend, **kw))
-    assert converged(run_de(kind, hi, t_dec, i_max, backend, **kw))
+def bisect_threshold(kind, t_dec, i_max, backend, lo, hi, tol=0.01,
+                     conv=MI_CONVERGED, **kw):
+    """Smallest design Eb/N0 (within tol dB) whose DE converges.
+
+    ``conv``: the MI level that counts as converged. The regular runs use
+    0.999 (i_max=250 reaches ~1.0 above threshold); the DVB-S2 i_max=50
+    runs use 0.9 — the outcome there is bimodal (stall plateaus at
+    ~0.68-0.75, convergence reaches >= 0.95 e.g. MI 0.957 for the working
+    0.8 dB design), so any level in the gap identifies the same threshold.
+    """
+    assert not converged(run_de(kind, lo, t_dec, i_max, backend, **kw), conv)
+    assert converged(run_de(kind, hi, t_dec, i_max, backend, **kw), conv)
     while hi - lo > tol:
         mid = 0.5 * (lo + hi)
-        if converged(run_de(kind, mid, t_dec, i_max, backend, **kw)):
+        if converged(run_de(kind, mid, t_dec, i_max, backend, **kw), conv):
             hi = mid
         else:
             lo = mid
@@ -161,16 +169,17 @@ def main():
         ("regular_T32_dp_threshold_db",
          lambda: bisect_threshold("regular", 32, 250, "dp", 1.0, 1.6, t_ch=32)),
         ("dvbs2_T16_dp_threshold_db",
-         lambda: bisect_threshold("irr", 16, 50, "dp", 0.4, 1.2, **irr_kw)),
+         lambda: bisect_threshold("irr", 16, 50, "dp", 0.4, 1.2, conv=0.9,
+                                  **irr_kw)),
         ("dvbs2_T32_dp_threshold_db",
          lambda: bisect_threshold("irr", 32, 50, "dp", 0.3, 1.2, t_ch=32,
-                                  **irr_kw)),
+                                  conv=0.9, **irr_kw)),
         ("regular_T16_sib_threshold_db",
          lambda: bisect_threshold("regular", 16, 250, "sib", 1.0, 1.8,
                                   tol=0.05)),
         ("dvbs2_T16_sib_threshold_db",
          lambda: bisect_threshold("irr", 16, 50, "sib", 0.4, 1.4, tol=0.05,
-                                  **irr_kw)),
+                                  conv=0.9, **irr_kw)),
     ]
     for key, job in jobs:
         if key in out:
