@@ -46,19 +46,33 @@ _OP_COUNTS: dict | None = None
 
 
 class counting_ops:
-    """Context manager: collect exact VPU element-op counts of every packed
-    lookup traced inside. Usage: ``with counting_ops() as c: jax.eval_shape(...)``."""
+    """Context manager: collect exact element counts of every packed-lookup
+    *primitive* traced inside, keyed by hardware-cost class:
+
+      ("col", W, T1): column builds — one |T1|-way compare-select of W words
+      ("ext", W, fb): extracts — one W-way word select + field shift/mask
+
+    The roofline (scripts/bench_matrix.py) divides these by per-class peak
+    rates measured with Pallas microkernels of the same primitives
+    (utils/peaks.py), so a kernel built from these primitives cannot beat
+    the bound. Usage: ``with counting_ops() as c: jax.eval_shape(...)``.
+    """
 
     def __enter__(self):
         global _OP_COUNTS
         self._prev = _OP_COUNTS
-        _OP_COUNTS = {"cmp": 0, "sel": 0, "bit": 0}
+        _OP_COUNTS = {}
         return _OP_COUNTS
 
     def __exit__(self, *exc):
         global _OP_COUNTS
         _OP_COUNTS = self._prev
         return False
+
+
+def _count(key: tuple, n: int) -> None:
+    if _OP_COUNTS is not None:
+        _OP_COUNTS[key] = _OP_COUNTS.get(key, 0) + n
 
 
 def _numel(x) -> int:
@@ -162,8 +176,6 @@ def vector_lookup_words(
     words: jnp.ndarray, idx: jnp.ndarray, fb: int
 ) -> jnp.ndarray:
     """out = row[idx] where ``words`` is the pre-packed row ([W] int32)."""
-    if _OP_COUNTS is not None:
-        _OP_COUNTS["bit"] += words.shape[0] * _numel(idx)
     cols = [words[w] + jnp.zeros_like(idx) for w in range(words.shape[0])]
     return _extract(cols, idx, fb)
 
@@ -246,9 +258,7 @@ def _select_columns(packed: jnp.ndarray, b: jnp.ndarray) -> list[jnp.ndarray]:
     list of |T1| compare planes per operand held ~300 MB of VMEM for the
     N=8000 code's node groups and blew the fused kernel's budget."""
     w, t1 = packed.shape
-    if _OP_COUNTS is not None:
-        _OP_COUNTS["cmp"] += t1 * _numel(b)
-        _OP_COUNTS["sel"] += w * t1 * _numel(b)
+    _count(("col", w, t1), _numel(b))
     cols = [jnp.zeros(b.shape, jnp.int32) for _ in range(w)]
     for j in range(t1):
         bj = b == j
@@ -264,13 +274,7 @@ def _extract(cols: list[jnp.ndarray], a: jnp.ndarray, field_bits: int) -> jnp.nd
     (fb=4), cols[-1] its high bit (fb=1, 32 bits/word)."""
     if field_bits == 5:
         low_cols, hi = cols[:-1], cols[-1]
-        if _OP_COUNTS is not None:
-            n = _numel(a)
-            _OP_COUNTS["sel"] += (len(low_cols) - 1) * n
-            _OP_COUNTS["cmp"] += (len(low_cols) - 1) * n
-            # low: shift-sel + shift + mul + and + and; high: and + shift +
-            # and + shift; combine: or.
-            _OP_COUNTS["bit"] += (10 if len(low_cols) > 1 else 9) * n
+        _count(("ext", len(cols), 5), _numel(a))
         if len(low_cols) == 1:
             word = low_cols[0]
         else:
@@ -283,13 +287,7 @@ def _extract(cols: list[jnp.ndarray], a: jnp.ndarray, field_bits: int) -> jnp.nd
         return low | (high << 4)
     per = 32 // field_bits
     shift_bits = per.bit_length() - 1  # per is 8 or 4
-    if _OP_COUNTS is not None:
-        n = _numel(a)
-        # word select: shift + (W-1) compares + (W-1) selects; field
-        # extraction: and + mul + shift + and.
-        _OP_COUNTS["sel"] += (len(cols) - 1) * n
-        _OP_COUNTS["cmp"] += (len(cols) - 1) * n
-        _OP_COUNTS["bit"] += (5 if len(cols) > 1 else 4) * n
+    _count(("ext", len(cols), field_bits), _numel(a))
     if len(cols) == 1:
         word = cols[0]
     else:

@@ -1,0 +1,216 @@
+"""Measured per-primitive peak rates for the roofline (Pallas microkernels).
+
+The decode kernels are built from a small set of primitives; a defensible
+speed-of-light is their measured peak rate in isolation, at full ILP, with
+all operands VMEM-resident — the same code generators (ops/lut_fold) through
+the same compiler, minus all memory movement, routing and loop control. A
+kernel composed of these primitives cannot beat the per-primitive peaks, so
+``achieved/SOL <= 1`` holds structurally (round-2 verdict #5; the previous
+roofline counted jnp-level ops against a synthetic-chain op rate, which both
+under- and over-estimated what the compiler actually fuses).
+
+Primitives measured (each as 4 independent dependency chains so dual-issue
+and compare+select fusion are available exactly as in the kernels, wrapped
+in an in-kernel fori_loop so one dispatch carries ~1 s of compute — the
+tunneled-chip dispatch latency is negligible against it):
+
+- ``("col", W, T1)``: packed-column build — |T1|-way compare-select of W
+  int32 words (ops/lut_fold._select_columns).
+- ``("ext", W, fb)``: packed-field extract — W-way word select + variable
+  shift + mask (ops/lut_fold._extract; fb=5 is the split 4+1-bit layout,
+  whose extract output is already a valid next-state index, so the chains
+  need no extra masking that would bias the measured rate).
+- ``"minsum_op"`` / ``"boxplus"``: one application of the float CN fold op
+  (ops/float_ops).
+- ``"float_mix"``: generic VN-side float work (add + clip).
+
+Rates are elements/second (extracts, builds, op applications). Measured once
+per process and cached.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.float_ops import boxplus, min_sum_op
+from ..ops.lut_fold import _extract, _select_columns
+
+R = 1024  # plane rows (x128 lanes): 512 KB int32 per plane
+U = 64  # unrolled steps per fori iteration
+CHAINS = 4
+LOOPS = 96  # fori iterations per dispatch
+
+# The op chains keep ~20-40 temporaries of [R, 128] live (boxplus expands to
+# exp/log1p temps per application x 4 pair chains); the 16 MB default scoped
+# limit is too tight.
+_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+
+
+def _time_call(fn, *args, reps=3):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        jax.block_until_ready(fn(*args))
+        times.append(time.time() - t0)
+    return sorted(times)[len(times) // 2]
+
+
+def measure_extract_peak(w: int, fb: int, reps: int = 3) -> float:
+    """Extracts/second for a W-word, fb-field packed column."""
+    # Valid next-state domain: extract output is a field value, which is a
+    # valid state index for these layouts (fb=4: [0,16) with t0=16; fb=5:
+    # [0,32) with t0=32), so chains are pure extract chains.
+    t0 = 16 if fb == 4 else 32
+
+    def kernel(words_ref, s_ref, o_ref):
+        cols = [
+            words_ref[k, 0] + jnp.zeros((R, 128), jnp.int32) for k in range(w)
+        ]
+
+        def body(_, states):
+            for _ in range(U):
+                states = tuple(_extract(cols, s, fb) for s in states)
+            return states
+
+        init = tuple((s_ref[:] + c) & (t0 - 1) for c in range(CHAINS))
+        states = jax.lax.fori_loop(0, LOOPS, body, init)
+        acc = states[0]
+        for s in states[1:]:
+            acc = acc + s
+        o_ref[:] = acc
+
+    words = jnp.asarray(
+        np.random.default_rng(0).integers(0, 2**31, (w, 1)), jnp.int32
+    )
+    s = jnp.asarray(
+        np.random.default_rng(1).integers(0, t0, (R, 128)), jnp.int32
+    )
+    fn = jax.jit(
+        pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((R, 128), jnp.int32),
+            compiler_params=_PARAMS,
+        )
+    )
+    med = _time_call(fn, words, s, reps=reps)
+    return CHAINS * R * 128 * U * LOOPS / med
+
+
+def measure_column_peak(w: int, t1: int, reps: int = 3) -> float:
+    """Column builds/second for a [W, T1] packed LUT."""
+
+    def kernel(packed_ref, b_ref, o_ref):
+        packed = packed_ref[:]
+
+        def body(_, carry):
+            bs, acc = carry
+            for _ in range(U // 8):
+                new = []
+                for b in bs:
+                    cols = _select_columns(packed, b)
+                    acc = acc + cols[0]
+                    new.append((cols[0] ^ cols[-1]) & (t1 - 1))
+                bs = tuple(new)
+            return bs, acc
+
+        init_b = tuple((b_ref[:] + c) & (t1 - 1) for c in range(CHAINS))
+        bs, acc = jax.lax.fori_loop(
+            0, LOOPS, body, (init_b, jnp.zeros((R, 128), jnp.int32))
+        )
+        o_ref[:] = acc + bs[0]
+
+    packed = jnp.asarray(
+        np.random.default_rng(2).integers(0, 2**31, (w, t1)), jnp.int32
+    )
+    b = jnp.asarray(
+        np.random.default_rng(3).integers(0, t1, (R, 128)), jnp.int32
+    )
+    fn = jax.jit(
+        pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((R, 128), jnp.int32),
+            compiler_params=_PARAMS,
+        )
+    )
+    med = _time_call(fn, packed, b, reps=reps)
+    return CHAINS * R * 128 * (U // 8) * LOOPS / med
+
+
+def _measure_float_binop(op, reps: int = 3) -> float:
+    """Applications/second of a binary float op (interleaved pair chains,
+    both operands live so nothing hoists out of the chain)."""
+
+    def kernel(x_ref, y_ref, o_ref):
+        def body(_, pairs):
+            for _ in range(U // 2):
+                pairs = tuple((op(x, y), op(y, x)) for x, y in pairs)
+            return pairs
+
+        init = tuple(
+            (x_ref[:] * (1.0 + 0.25 * c), y_ref[:] * (1.0 - 0.125 * c))
+            for c in range(CHAINS)
+        )
+        pairs = jax.lax.fori_loop(0, LOOPS, body, init)
+        acc = pairs[0][0]
+        for x, _ in pairs[1:]:
+            acc = acc + x
+        o_ref[:] = acc
+
+    fn = jax.jit(
+        pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((R, 128), jnp.float32),
+            compiler_params=_PARAMS,
+        )
+    )
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(R, 128)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(R, 128)), jnp.float32)
+    med = _time_call(fn, x, y, reps=reps)
+    return CHAINS * R * 128 * U * LOOPS / med
+
+
+def measure_minsum_op_peak(reps: int = 3) -> float:
+    return _measure_float_binop(min_sum_op, reps)
+
+
+def measure_boxplus_peak(reps: int = 3) -> float:
+    return _measure_float_binop(boxplus, reps)
+
+
+def measure_float_mix_peak(reps: int = 3) -> float:
+    """(add + clip)/second — the VN-side op mix."""
+    return _measure_float_binop(
+        lambda a, b: jnp.clip(a + b, -150.0, 150.0), reps
+    )
+
+
+_CACHE: dict = {}
+
+
+def primitive_peak(kind, *params) -> float:
+    """Cached peak lookup: ('col', W, T1) | ('ext', W, fb) | 'minsum_op' |
+    'boxplus' | 'float_mix'."""
+    key = (kind, *params)
+    if key not in _CACHE:
+        if kind == "col":
+            _CACHE[key] = measure_column_peak(*params)
+        elif kind == "ext":
+            _CACHE[key] = measure_extract_peak(*params)
+        elif kind == "minsum_op":
+            _CACHE[key] = measure_minsum_op_peak()
+        elif kind == "boxplus":
+            _CACHE[key] = measure_boxplus_peak()
+        elif kind == "float_mix":
+            _CACHE[key] = measure_float_mix_peak()
+        else:
+            raise ValueError(kind)
+    return _CACHE[key]
