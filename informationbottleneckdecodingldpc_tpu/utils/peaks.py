@@ -44,23 +44,54 @@ from ..ops.lut_fold import _extract, _select_columns
 R = 1024  # plane rows (x128 lanes): 512 KB int32 per plane
 U = 64  # unrolled steps per fori iteration
 CHAINS = 4
-LOOPS = 96  # fori iterations per dispatch
 
-# The op chains keep ~20-40 temporaries of [R, 128] live (boxplus expands to
-# exp/log1p temps per application x 4 pair chains); the 16 MB default scoped
-# limit is too tight.
+# Float-op chains use a smaller working set: boxplus expands to exp/log1p
+# temporaries per application x pair chains, and the remote AOT compile
+# helper pins the scoped-VMEM limit at 16 MB regardless of
+# vmem_limit_bytes (round-3 bench_matrix2.log: "size 18.00M and limit
+# 16.00M" with the 96 MB param set). [FR, 128] f32 x 2 pair chains keeps
+# the whole chain state ~512 KB; each application is still 32 vector ops
+# of independent lane work, so the measured rate is the same peak.
+FR = 512
+FCHAINS = 2
+
 _PARAMS = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
 
 
-def _time_call(fn, *args, reps=3):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    times = []
-    for _ in range(reps):
-        t0 = time.time()
-        jax.block_until_ready(fn(*args))
-        times.append(time.time() - t0)
-    return sorted(times)[len(times) // 2]
+def _rate(build_fn, work_per_loop: float, l0: int = 256, reps: int = 3):
+    """work/second by DIFFERENCING two fori trip counts.
+
+    Two honesty rules learned on the tunneled chip (round-3 postmortem):
+    value READBACK, not block_until_ready — the axon platform's
+    block_until_ready can return before execution finishes (see
+    utils/benchmarks.py), which made every round-3 "peak" a dispatch-latency
+    measurement; and rate = work_diff / time_diff between trip counts L and
+    2L, which cancels the constant dispatch + 512 KB readback cost that
+    would otherwise be attributed to compute. L adapts until the L-dispatch
+    itself takes >= 0.25 s, so the differenced interval is well above timer
+    and tunnel jitter.
+    """
+
+    def timed(loops, reps_):
+        fn = build_fn(loops)
+        np.asarray(fn())  # compile
+        np.asarray(fn())  # warm
+        ts = []
+        for _ in range(reps_):
+            t0 = time.time()
+            np.asarray(fn())
+            ts.append(time.time() - t0)
+        return sorted(ts)[len(ts) // 2]
+
+    loops = l0
+    t1 = timed(loops, 1)
+    while t1 < 0.25 and loops < (1 << 22):
+        loops *= max(2, min(int(0.4 / max(t1, 1e-3)), 64))
+        t1 = timed(loops, 1)
+    t1 = timed(loops, reps)
+    t2 = timed(2 * loops, reps)
+    dt = max(t2 - t1, 1e-9)
+    return work_per_loop * loops / dt
 
 
 def measure_extract_peak(w: int, fb: int, reps: int = 3) -> float:
@@ -70,62 +101,46 @@ def measure_extract_peak(w: int, fb: int, reps: int = 3) -> float:
     # [0,32) with t0=32), so chains are pure extract chains.
     t0 = 16 if fb == 4 else 32
 
-    def kernel(words_ref, s_ref, o_ref):
-        cols = [
-            words_ref[k, 0] + jnp.zeros((R, 128), jnp.int32) for k in range(w)
-        ]
-
-        def body(_, states):
-            for _ in range(U):
-                states = tuple(_extract(cols, s, fb) for s in states)
-            return states
-
-        init = tuple((s_ref[:] + c) & (t0 - 1) for c in range(CHAINS))
-        states = jax.lax.fori_loop(0, LOOPS, body, init)
-        acc = states[0]
-        for s in states[1:]:
-            acc = acc + s
-        o_ref[:] = acc
-
     words = jnp.asarray(
         np.random.default_rng(0).integers(0, 2**31, (w, 1)), jnp.int32
     )
     s = jnp.asarray(
         np.random.default_rng(1).integers(0, t0, (R, 128)), jnp.int32
     )
-    fn = jax.jit(
-        pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct((R, 128), jnp.int32),
-            compiler_params=_PARAMS,
+
+    def build(loops):
+        def kernel(words_ref, s_ref, o_ref):
+            cols = [
+                words_ref[k, 0] + jnp.zeros((R, 128), jnp.int32)
+                for k in range(w)
+            ]
+
+            def body(_, states):
+                for _ in range(U):
+                    states = tuple(_extract(cols, s_, fb) for s_ in states)
+                return states
+
+            init = tuple((s_ref[:] + c) & (t0 - 1) for c in range(CHAINS))
+            states = jax.lax.fori_loop(0, loops, body, init)
+            acc = states[0]
+            for s_ in states[1:]:
+                acc = acc + s_
+            o_ref[:] = acc
+
+        fn = jax.jit(
+            pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((R, 128), jnp.int32),
+                compiler_params=_PARAMS,
+            )
         )
-    )
-    med = _time_call(fn, words, s, reps=reps)
-    return CHAINS * R * 128 * U * LOOPS / med
+        return lambda: fn(words, s)
+
+    return _rate(build, CHAINS * R * 128 * U, reps=reps)
 
 
 def measure_column_peak(w: int, t1: int, reps: int = 3) -> float:
     """Column builds/second for a [W, T1] packed LUT."""
-
-    def kernel(packed_ref, b_ref, o_ref):
-        packed = packed_ref[:]
-
-        def body(_, carry):
-            bs, acc = carry
-            for _ in range(U // 8):
-                new = []
-                for b in bs:
-                    cols = _select_columns(packed, b)
-                    acc = acc + cols[0]
-                    new.append((cols[0] ^ cols[-1]) & (t1 - 1))
-                bs = tuple(new)
-            return bs, acc
-
-        init_b = tuple((b_ref[:] + c) & (t1 - 1) for c in range(CHAINS))
-        bs, acc = jax.lax.fori_loop(
-            0, LOOPS, body, (init_b, jnp.zeros((R, 128), jnp.int32))
-        )
-        o_ref[:] = acc + bs[0]
 
     packed = jnp.asarray(
         np.random.default_rng(2).integers(0, 2**31, (w, t1)), jnp.int32
@@ -133,49 +148,87 @@ def measure_column_peak(w: int, t1: int, reps: int = 3) -> float:
     b = jnp.asarray(
         np.random.default_rng(3).integers(0, t1, (R, 128)), jnp.int32
     )
-    fn = jax.jit(
-        pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct((R, 128), jnp.int32),
-            compiler_params=_PARAMS,
+
+    def build(loops):
+        def kernel(packed_ref, b_ref, o_ref):
+            pk = packed_ref[:]
+
+            def body(_, carry):
+                bs, acc = carry
+                for _ in range(U // 8):
+                    new = []
+                    for bb in bs:
+                        cols = _select_columns(pk, bb)
+                        acc = acc + cols[0]
+                        new.append((cols[0] ^ cols[-1]) & (t1 - 1))
+                    bs = tuple(new)
+                return bs, acc
+
+            init_b = tuple((b_ref[:] + c) & (t1 - 1) for c in range(CHAINS))
+            bs, acc = jax.lax.fori_loop(
+                0, loops, body, (init_b, jnp.zeros((R, 128), jnp.int32))
+            )
+            o_ref[:] = acc + bs[0]
+
+        fn = jax.jit(
+            pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((R, 128), jnp.int32),
+                compiler_params=_PARAMS,
+            )
         )
-    )
-    med = _time_call(fn, packed, b, reps=reps)
-    return CHAINS * R * 128 * (U // 8) * LOOPS / med
+        return lambda: fn(packed, b)
+
+    return _rate(build, CHAINS * R * 128 * (U // 8), reps=reps)
 
 
 def _measure_float_binop(op, reps: int = 3) -> float:
-    """Applications/second of a binary float op (interleaved pair chains,
-    both operands live so nothing hoists out of the chain)."""
+    """Applications/second of a binary float op.
 
-    def kernel(x_ref, y_ref, o_ref):
-        def body(_, pairs):
-            for _ in range(U // 2):
-                pairs = tuple((op(x, y), op(y, x)) for x, y in pairs)
-            return pairs
+    Chain shape matters: ``(op(x, y), op(y, x))`` is a trap for symmetric
+    ops (min_sum_op, boxplus) — XLA CSEs the two applications, the pair
+    collapses to ``(a, a)``, and ``op(a, a)`` then algebraically simplifies,
+    inflating the measured "peak" ~30x (seen on-chip: boxplus "faster" than
+    min-sum). Here each step is ``x' = op(x, y); y' = op(y, x')`` — distinct
+    operands (no CSE), y feeds the next x (no dead code), two genuine
+    applications per step. Each application still covers [FR, 128] f32 = 32
+    vector strips, so the VPU pipeline stays full despite the serial pair."""
 
-        init = tuple(
-            (x_ref[:] * (1.0 + 0.25 * c), y_ref[:] * (1.0 - 0.125 * c))
-            for c in range(CHAINS)
-        )
-        pairs = jax.lax.fori_loop(0, LOOPS, body, init)
-        acc = pairs[0][0]
-        for x, _ in pairs[1:]:
-            acc = acc + x
-        o_ref[:] = acc
-
-    fn = jax.jit(
-        pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct((R, 128), jnp.float32),
-            compiler_params=_PARAMS,
-        )
-    )
     rng = np.random.default_rng(4)
-    x = jnp.asarray(rng.normal(size=(R, 128)), jnp.float32)
-    y = jnp.asarray(rng.normal(size=(R, 128)), jnp.float32)
-    med = _time_call(fn, x, y, reps=reps)
-    return CHAINS * R * 128 * U * LOOPS / med
+    x = jnp.asarray(rng.normal(size=(FR, 128)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(FR, 128)), jnp.float32)
+
+    def build(loops):
+        def kernel(x_ref, y_ref, o_ref):
+            def body(_, pairs):
+                def step(px, py):
+                    nx = op(px, py)
+                    return nx, op(py, nx)
+
+                for _ in range(U // 2):
+                    pairs = tuple(step(px, py) for px, py in pairs)
+                return pairs
+
+            init = tuple(
+                (x_ref[:] * (1.0 + 0.25 * c), y_ref[:] * (1.0 - 0.125 * c))
+                for c in range(FCHAINS)
+            )
+            pairs = jax.lax.fori_loop(0, loops, body, init)
+            acc = pairs[0][0]
+            for px, _ in pairs[1:]:
+                acc = acc + px
+            o_ref[:] = acc
+
+        fn = jax.jit(
+            pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((FR, 128), jnp.float32),
+                compiler_params=_PARAMS,
+            )
+        )
+        return lambda: fn(x, y)
+
+    return _rate(build, FCHAINS * FR * 128 * U, reps=reps)
 
 
 def measure_minsum_op_peak(reps: int = 3) -> float:
