@@ -237,6 +237,18 @@ class BERSimulator:
                         layout, trellis.host, batch_tile=bt, **kw
                     )
                 elif hbm_supported(layout):
+                    # Loud by design (round-3 verdict: auto must not stall
+                    # silently): the table-driven HBM kernel's one-time
+                    # Mosaic compile is ~5 min at DVB-S2 scale (cached in
+                    # JAX_COMPILATION_CACHE_DIR afterwards).
+                    print(
+                        "[engine] backend=auto selected the HBM-resident "
+                        "Pallas kernel for this code "
+                        f"(n_edges={layout.n_edges}); first compile takes "
+                        "minutes (one-time, cached). Use backend='xla' to "
+                        "skip.",
+                        flush=True,
+                    )
                     self._fused_decoder = HBMFusedIBDecoder(
                         layout, trellis.host, **kw
                     )

@@ -9,10 +9,18 @@ kernel composed of these primitives cannot beat the per-primitive peaks, so
 roofline counted jnp-level ops against a synthetic-chain op rate, which both
 under- and over-estimated what the compiler actually fuses).
 
-Primitives measured (each as 4 independent dependency chains so dual-issue
-and compare+select fusion are available exactly as in the kernels, wrapped
-in an in-kernel fori_loop so one dispatch carries ~1 s of compute — the
-tunneled-chip dispatch latency is negligible against it):
+Chain states are REGISTER-RESIDENT — one (8, 128) vreg per chain, many
+independent chains. A first cut used [1024, 128] per-chain arrays; those
+live in VMEM, so every application paid a VMEM round-trip and the measured
+"peak" was VMEM-traffic-bound, ~25% below what the fused kernels achieve
+with their longer in-register expression chains (round-4 bench_matrix:
+fraction_of_sol 1.24). With one-vreg states the microkernel runs at the
+VPU's ALU issue ceiling, which a composite kernel cannot beat — so
+``achieved/SOL <= 1`` holds structurally again.
+
+Primitives measured (16 independent one-vreg dependency chains, wrapped in
+an in-kernel fori_loop so one dispatch carries >= 0.25 s of compute — the
+tunneled-chip dispatch latency is cancelled by trip-count differencing):
 
 - ``("col", W, T1)``: packed-column build — |T1|-way compare-select of W
   int32 words (ops/lut_fold._select_columns).
@@ -41,24 +49,21 @@ from jax.experimental.pallas import tpu as pltpu
 from ..ops.float_ops import boxplus, min_sum_op
 from ..ops.lut_fold import _extract, _select_columns
 
-R = 1024  # plane rows (x128 lanes): 512 KB int32 per plane
+R = 8  # one (8, 128) vreg per chain state
 U = 64  # unrolled steps per fori iteration
-CHAINS = 4
+CHAINS = 16  # independent chains: ILP far above the ALU pipeline depth
 
-# Float-op chains use a smaller working set: boxplus expands to exp/log1p
-# temporaries per application x pair chains, and the remote AOT compile
-# helper pins the scoped-VMEM limit at 16 MB regardless of
-# vmem_limit_bytes (round-3 bench_matrix2.log: "size 18.00M and limit
-# 16.00M" with the 96 MB param set). [FR, 128] f32 x 2 pair chains keeps
-# the whole chain state ~512 KB; each application is still 32 vector ops
-# of independent lane work, so the measured rate is the same peak.
-FR = 512
-FCHAINS = 2
+# Float pair chains (x' = op(x, y); y' = op(y, x')): same one-vreg states.
+# boxplus expands to exp/log1p temporaries, still register-resident at this
+# size (the round-3 on-chip OOM came from [4096, 128]-scale chain states
+# under the AOT helper's 16 MB scoped-VMEM limit).
+FR = 8
+FCHAINS = 16
 
 _PARAMS = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
 
 
-def _rate(build_fn, work_per_loop: float, l0: int = 256, reps: int = 3):
+def _rate(build_fn, work_per_loop: float, l0: int = 4096, reps: int = 3):
     """work/second by DIFFERENCING two fori trip counts.
 
     Two honesty rules learned on the tunneled chip (round-3 postmortem):
