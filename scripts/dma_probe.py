@@ -44,7 +44,7 @@ def build(L, waves, direction):
     )
     dst_t, src_t = jnp.asarray(dst), jnp.asarray(src)
 
-    def kernel(dst_ref, src_ref, x_ref, o_ref, S, sem):
+    def kernel(dst_ref, src_ref, x_ref, big_ref, o_ref, S, sem):
         if direction == "scatter":
             S[0:8] = jnp.ones((8, 128), jnp.int32)
 
@@ -53,7 +53,7 @@ def build(L, waves, direction):
                 if direction == "scatter":
                     return pltpu.make_async_copy(
                         S.at[pl.ds(src_ref[k], L)],
-                        o_ref.at[pl.ds(dst_ref[k], L)],
+                        big_ref.at[pl.ds(dst_ref[k], L)],
                         sem,
                     )
                 return pltpu.make_async_copy(
@@ -75,29 +75,35 @@ def build(L, waves, direction):
             return 0
 
         jax.lax.fori_loop(0, waves, wave, 0)
-        if direction == "stage":
-            o_ref[0:8] = S[0:8]
+        o_ref[0:8] = S[0:8]
 
-    out_rows = HBM_ROWS if direction == "scatter" else 8
+    # The big scatter target is an ANY output that is NEVER read back (the
+    # tunnel readback of a 512 MB buffer would dominate all timing); the
+    # tiny VMEM output is the only fetched value.
     fn = pl.pallas_call(
         kernel,
         grid=(),
-        out_shape=jax.ShapeDtypeStruct((out_rows, 128), jnp.int32),
+        out_shape=(
+            jax.ShapeDtypeStruct((HBM_ROWS, 128), jnp.int32),
+            jax.ShapeDtypeStruct((8, 128), jnp.int32),
+        ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(
-            memory_space=pl.ANY if direction == "scatter" else pltpu.MemorySpace.VMEM
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((VMEM_ROWS, 128), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )
     x = jnp.zeros((HBM_ROWS, 128), jnp.int32)
-    jit = jax.jit(lambda: fn(dst_t, src_t, x))
+    jit = jax.jit(lambda: fn(dst_t, src_t, x)[1])
     return jit
 
 
@@ -111,21 +117,109 @@ def timed(fn, reps=3):
     return sorted(ts)[len(ts) // 2]
 
 
-def main():
-    for direction in ("scatter", "stage"):
-        for L in (1, 8, 32, 128, 512):
-            w1 = 8
-            t1 = timed(build(L, w1, direction))
-            t2 = timed(build(L, 2 * w1, direction))
-            n = WAVE * w1
-            dt = max(t2 - t1, 1e-9)
-            per = dt / n
-            bw = L * 128 * 4 * n / dt
-            print(
-                f"{direction:8s} L={L:4d}: {per*1e6:7.2f} us/DMA, "
-                f"{bw/1e9:7.2f} GB/s effective",
-                flush=True,
+def build_tiny_loops(L, waves, entries_per_loop):
+    """Same WAVE descriptors per wave, but issued from WAVE/entries_per_loop
+    separate fori loops (start loop + wait loop each) — measures the
+    per-loop setup cost that dominates when scatter buckets hold only a few
+    entries (the HBM decode kernel's observed regime)."""
+    rng = np.random.default_rng(0)
+    slots = HBM_ROWS // max(L, 8)
+    dst = (rng.permutation(slots)[:WAVE] * max(L, 8)).astype(np.int32)
+    src = ((np.arange(WAVE) % (VMEM_ROWS // max(L, 8))) * max(L, 8)).astype(
+        np.int32
+    )
+    dst_t, src_t = jnp.asarray(dst), jnp.asarray(src)
+    n_loops = WAVE // entries_per_loop
+
+    def kernel(dst_ref, src_ref, x_ref, big_ref, o_ref, S, sem):
+        S[0:8] = jnp.ones((8, 128), jnp.int32)
+
+        def mk(k):
+            return pltpu.make_async_copy(
+                S.at[pl.ds(src_ref[k], L)],
+                big_ref.at[pl.ds(dst_ref[k], L)],
+                sem,
             )
+
+        def wave(r, _):
+            for lo in range(0, WAVE, entries_per_loop):
+
+                def start(k, _):
+                    mk(k).start()
+                    return 0
+
+                jax.lax.fori_loop(lo, lo + entries_per_loop, start, 0)
+            for lo in range(0, WAVE, entries_per_loop):
+
+                def wait(k, _):
+                    mk(k).wait()
+                    return 0
+
+                jax.lax.fori_loop(lo, lo + entries_per_loop, wait, 0)
+            return 0
+
+        jax.lax.fori_loop(0, waves, wave, 0)
+        o_ref[0:8] = S[0:8]
+
+    fn = pl.pallas_call(
+        kernel,
+        grid=(),
+        out_shape=(
+            jax.ShapeDtypeStruct((HBM_ROWS, 128), jnp.int32),
+            jax.ShapeDtypeStruct((8, 128), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((VMEM_ROWS, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )
+    x = jnp.zeros((HBM_ROWS, 128), jnp.int32)
+    return jax.jit(lambda: fn(dst_t, src_t, x)[1]), n_loops
+
+
+def main():
+    mode = os.environ.get("PROBE_MODE", "loops")
+    if mode == "flat":
+        for direction in ("scatter", "stage"):
+            for L in (1, 32, 256):
+                w1 = 8
+                t1 = timed(build(L, w1, direction))
+                t2 = timed(build(L, 2 * w1, direction))
+                n = WAVE * w1
+                dt = max(t2 - t1, 1e-9)
+                per = dt / n
+                bw = L * 128 * 4 * n / dt
+                print(
+                    f"{direction:8s} L={L:4d}: {per*1e6:7.2f} us/DMA, "
+                    f"{bw/1e9:7.2f} GB/s effective",
+                    flush=True,
+                )
+        return
+    L = 32
+    for entries in (512, 8, 2):
+        w1 = 4
+        fn1, n_loops = build_tiny_loops(L, w1, entries)
+        fn2, _ = build_tiny_loops(L, 2 * w1, entries)
+        t1, t2 = timed(fn1), timed(fn2)
+        n = WAVE * w1
+        dt = max(t2 - t1, 1e-9)
+        per_dma = dt / n
+        per_loop = dt / (2 * n_loops * w1)
+        print(
+            f"L={L} entries/loop={entries:4d}: {per_dma*1e6:7.2f} us/DMA, "
+            f"{per_loop*1e6:7.2f} us/loop-pair-half",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
