@@ -11,7 +11,7 @@ from typing import Callable
 
 import jax.numpy as jnp
 
-from ..ops.float_ops import vn_sum_leave_one_out
+from ..ops.float_ops import sum_planes, vn_sum_leave_one_out
 from .common import (
     DecodeResult,
     apply_per_cn_group,
@@ -69,7 +69,7 @@ def float_decode(
         msgs = vn_view[grp.offset : grp.offset + size].reshape(
             grp.degree, grp.num_nodes, batch
         )
-        outs.append(ch + jnp.sum(msgs, axis=0))
+        outs.append(ch + sum_planes(msgs))
     outputs = node_outputs_to_natural_order(layout, outs)
     unsat_final = unsatisfied_checks(layout, cn_view < 0)
     return DecodeResult(outputs=outputs, iterations=iters, unsatisfied=unsat_final)

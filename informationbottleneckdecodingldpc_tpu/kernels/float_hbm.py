@@ -1,0 +1,483 @@
+"""HBM-resident fused Pallas kernel for the float (min-sum / BP) decoders.
+
+The XLA float path materializes every permutation apply and fold as a full
+[n_edges, batch] round-trip — ~2.2x the HBM-traffic minimum for codes whose
+message views exceed VMEM (round-3 verdict: DVB-S2 min-sum at 0.47 of its
+traffic bound). This kernel reuses the table-driven, double-buffered DMA
+chassis of :mod:`.ib_lut_hbm` with float32 planes and the continuous
+check/variable node rules:
+
+- iteration body = CN pass (stage A -> min-sum/boxplus leave-one-out ->
+  route-on-write into B), VN pass (stage B + channel LLRs -> clamped sum
+  leave-one-out -> route into A), syndrome pass (stage A, sign parity);
+- the seeded CN view is ALIASED into the A view (``input_output_aliases``),
+  so the loop body is uniform — no peeled first iteration;
+- decision pass: channel + sum of ALL incoming CN messages, unclamped,
+  exactly ``calc_varnode_output`` (kernels_min_and_BP.cl:170-204).
+
+Semantics mirror decode/min_sum.py / decode/bp.py (reference:
+Continous_LDPC_Decoding/min_sum_decoder_irreg.py:221-287,
+bp_decoder_irreg.py:221-286): seed CN inboxes with channel LLRs, loop at
+most imax-1 bodies with early exit on the syndrome, count iterations as
+bodies executed. With ``early_exit=False`` it is bit-exact vs the XLA path
+(same fold order, same clamp); with ``early_exit=True`` exit is at
+batch-tile granularity like the discrete HBM kernel.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..decode.common import DecodeResult
+from ..decode.graph_arrays import DecodeLayout
+from ..ops.float_ops import LLR_MAX, boxplus, min_sum_op
+from .ib_lut_fused import _chunk_bounds, _scatter_runs
+from .ib_lut_hbm import _piece_tables, chunk_geom, hbm_supported
+
+# Float fold working set per node: the [d, stride, Bt] stack plus prefix /
+# suffix arrays of the leave-one-out and a few temporaries.
+FLOAT_GROUP_VMEM_BUDGET = 48 * 1024 * 1024
+
+
+def _fold_bytes_per_node_float(degree: int, bt: int, extra_op: int = 0) -> int:
+    d = degree + extra_op
+    lanes = max(bt, 128)
+    return (3 * d + 6) * lanes * 4
+
+
+def _group_chunk_counts_float(groups, bt: int, extra_op: int = 0):
+    counts = []
+    for g in groups:
+        per_node = _fold_bytes_per_node_float(int(g.degree), bt, extra_op)
+        max_nodes = max(FLOAT_GROUP_VMEM_BUDGET // per_node, 8)
+        counts.append(-(-int(g.num_nodes) // max_nodes))
+    return tuple(counts)
+
+
+def _leave_one_out(op, planes):
+    """Prefix/suffix leave-one-out over a plane list (same order as
+    ops/float_ops.associative_leave_one_out: prefix[j-1] op suffix[j+1])."""
+    d = len(planes)
+    if d == 1:
+        return [jnp.zeros_like(planes[0])]
+    pre = [planes[0]]
+    for j in range(1, d - 1):
+        pre.append(op(pre[-1], planes[j]))
+    suf = [planes[-1]]
+    for j in range(d - 2, 0, -1):
+        suf.insert(0, op(planes[j], suf[0]))
+    out = [suf[0]]
+    for j in range(1, d - 1):
+        out.append(op(pre[j - 1], suf[j]))
+    out.append(pre[-1])
+    return out
+
+
+class HBMFloatDecoder:
+    """DMA-staged float decoder: LLRs [n_vars, batch] -> DecodeResult.
+
+    ``rule`` is 'minsum' or 'bp' (boxplus CN op). Same tiling contract as
+    :class:`.ib_lut_hbm.HBMFusedIBDecoder`.
+    """
+
+    def __init__(
+        self,
+        layout: DecodeLayout,
+        rule: str = "minsum",
+        max_iters: int = 50,
+        early_exit: bool = True,
+        batch_tile: int = 128,
+        interpret: bool | None = None,
+    ):
+        if not hbm_supported(layout):
+            raise ValueError(
+                "layout CN<->VN routing does not run-decompose into "
+                "unit-stride runs; use the XLA path"
+            )
+        if rule not in ("minsum", "bp"):
+            raise ValueError(rule)
+        self.layout = layout
+        self.rule = rule
+        self.imax = max_iters
+        self.early_exit = early_exit
+        self.batch_tile = batch_tile
+        self.interpret = (
+            interpret if interpret is not None else jax.default_backend() != "tpu"
+        )
+        self._kernel = _build_float_hbm_kernel(
+            layout, rule, max_iters, early_exit, batch_tile, self.interpret
+        )
+
+    def __call__(self, channel_llrs: jnp.ndarray) -> DecodeResult:
+        return self._kernel(channel_llrs)
+
+
+def _build_float_hbm_kernel(
+    layout: DecodeLayout,
+    rule: str,
+    imax: int,
+    early_exit: bool,
+    batch_tile: int,
+    interpret: bool,
+):
+    Bt = batch_tile
+    n_vars, n_edges = layout.n_vars, layout.n_edges
+    cn_op = min_sum_op if rule == "minsum" else boxplus
+
+    cn_chunks = _group_chunk_counts_float(layout.cn_groups, Bt)
+    vn_chunks = _group_chunk_counts_float(layout.vn_groups, Bt, extra_op=1)
+    cn_scatter = _scatter_runs(layout.to_vn, layout.cn_groups, cn_chunks)
+    vn_scatter = _scatter_runs(layout.to_cn, layout.vn_groups, vn_chunks)
+
+    cn_groups = tuple((g.offset, g.num_nodes, g.degree) for g in layout.cn_groups)
+    vn_groups = tuple((g.offset, g.num_nodes, g.degree) for g in layout.vn_groups)
+    vn_node_offsets = []
+    off = 0
+    for _, n, _ in vn_groups:
+        vn_node_offsets.append(off)
+        off += n
+    vn_node_offsets = tuple(vn_node_offsets)
+
+    cn_stage_rows, cn_strides, cn_nchunks = chunk_geom(layout.cn_groups, cn_chunks)
+    vn_stage_rows, vn_strides, vn_nchunks = chunk_geom(layout.vn_groups, vn_chunks)
+    stage_rows = -(-max(cn_stage_rows, vn_stage_rows) // 8) * 8
+    chv_rows = -(-max(vn_strides) // 8) * 8
+    pad_e = max(cn_strides + vn_strides)
+    pad_v = max(vn_strides)
+
+    cn_tables = _piece_tables(cn_scatter, cn_strides)
+    vn_tables = _piece_tables(vn_scatter, vn_strides)
+
+    def kernel(*refs):
+        it = iter(refs)
+        cn_tab_refs = [(next(it), next(it), next(it)) for _ in cn_groups]
+        vn_tab_refs = [(next(it), next(it), next(it)) for _ in vn_groups]
+        seeded_ref = next(it)  # [n_edges+pad_e, Bt] ANY f32, aliased to A
+        chg_ref = next(it)  # [n_vars+pad_v, Bt] ANY f32
+        out_ref = next(it)  # [n_vars+pad_v, Bt] ANY f32: posterior LLRs
+        unsat_ref, iters_ref = next(it), next(it)
+        A, B = next(it), next(it)  # [n_edges+pad_e, Bt] ANY f32 views
+        S_in, S_out, CHV = next(it), next(it), next(it)
+        sem_st, sem_sc = next(it), next(it)
+        del seeded_ref  # same buffer as A (input_output_aliases)
+
+        def hinted(offset, stride):
+            return pl.multiple_of(offset, 8) if stride % 8 == 0 else offset
+
+        def stage_dmas(view, off_, n, d, stride, c, buf, chv_off=None):
+            c0 = c * stride
+            dmas = [
+                pltpu.make_async_copy(
+                    view.at[pl.ds(off_ + j * n + c0, stride)],
+                    S_in.at[
+                        pl.ds(hinted(buf * stage_rows + j * stride, stride), stride)
+                    ],
+                    sem_st.at[buf],
+                )
+                for j in range(d)
+            ]
+            if chv_off is not None:
+                dmas.append(
+                    pltpu.make_async_copy(
+                        chg_ref.at[pl.ds(chv_off + c0, stride)],
+                        CHV.at[pl.ds(hinted(buf * chv_rows, stride), stride)],
+                        sem_st.at[buf],
+                    )
+                )
+            return dmas
+
+        def read_planes(d, stride, buf):
+            return [
+                S_in[
+                    pl.ds(hinted(buf * stage_rows + j * stride, stride), stride)
+                ]
+                for j in range(d)
+            ]
+
+        def scatter_walk(view, tabs, c, buf, action):
+            lens, seg_ref, src_ref, dst_ref = tabs
+            nb = len(lens)
+            base = c * nb
+            for bi, L in enumerate(lens):
+
+                def body(k, _, L=L):
+                    m = pltpu.make_async_copy(
+                        S_out.at[pl.ds(src_ref[k] + buf * stage_rows, L)],
+                        view.at[pl.ds(dst_ref[k], L)],
+                        sem_sc.at[buf],
+                    )
+                    (m.start if action == "start" else m.wait)()
+                    return 0
+
+                jax.lax.fori_loop(
+                    seg_ref[base + bi], seg_ref[base + bi + 1], body, 0
+                )
+
+        def pipelined_group(
+            view_in, view_out, tabs, off_, n, d, stride, n_chunks,
+            fold_chunk, carry0, chv_off=None,
+        ):
+            def start_stage(c, buf):
+                for m in stage_dmas(view_in, off_, n, d, stride, c, buf, chv_off):
+                    m.start()
+
+            def wait_stage(c, buf):
+                for m in stage_dmas(view_in, off_, n, d, stride, c, buf, chv_off):
+                    m.wait()
+
+            start_stage(0, 0)
+
+            def body(c, acc):
+                buf = c & 1
+                if n_chunks > 1:
+
+                    @pl.when(c + 1 < n_chunks)
+                    def _():
+                        start_stage(c + 1, buf ^ 1)
+
+                wait_stage(c, buf)
+                if tabs is not None and n_chunks > 2:
+
+                    @pl.when(c >= 2)
+                    def _():
+                        scatter_walk(view_out, tabs, c - 2, buf, "wait")
+
+                planes = read_planes(d, stride, buf)
+                chv = (
+                    CHV[pl.ds(hinted(buf * chv_rows, stride), stride)]
+                    if chv_off is not None
+                    else None
+                )
+                outp, acc = fold_chunk(planes, chv, c, acc)
+                if tabs is not None:
+                    for j, p in enumerate(outp):
+                        S_out[
+                            pl.ds(
+                                hinted(buf * stage_rows + j * stride, stride),
+                                stride,
+                            )
+                        ] = p
+                    scatter_walk(view_out, tabs, c, buf, "start")
+                return acc
+
+            acc = jax.lax.fori_loop(0, n_chunks, body, carry0)
+            if tabs is not None:
+                for c in (n_chunks - 2, n_chunks - 1):
+                    if c >= 0:
+                        scatter_walk(view_out, tabs, c, c & 1, "wait")
+            return acc
+
+        def cn_pass():
+            for gi, (off_, n, d) in enumerate(cn_groups):
+
+                def fold_chunk(planes, _chv, c, acc):
+                    return _leave_one_out(cn_op, planes), acc
+
+                pipelined_group(
+                    A, B, (cn_tables[gi][0],) + cn_tab_refs[gi],
+                    off_, n, d, cn_strides[gi], cn_nchunks[gi],
+                    fold_chunk, jnp.int32(0),
+                )
+
+        def vn_pass():
+            for gi, (off_, n, d) in enumerate(vn_groups):
+
+                def fold_chunk(planes, chv, c, acc):
+                    if d == 1:
+                        # Degree-1 passthrough (kernels_min_and_BP.cl /
+                        # float_ops.vn_sum_leave_one_out d==1).
+                        return [jnp.clip(chv, -LLR_MAX, LLR_MAX)], acc
+                    # Same bracketing as vn_sum_leave_one_out: ch + seq-sum.
+                    s = planes[0]
+                    for p in planes[1:]:
+                        s = s + p
+                    total = chv + s
+                    return [
+                        jnp.clip(total - p, -LLR_MAX, LLR_MAX) for p in planes
+                    ], acc
+
+                pipelined_group(
+                    B, A, (vn_tables[gi][0],) + vn_tab_refs[gi],
+                    off_, n, d, vn_strides[gi], vn_nchunks[gi],
+                    fold_chunk, jnp.int32(0), chv_off=vn_node_offsets[gi],
+                )
+
+        def syn_pass():
+            unsat = jnp.zeros((Bt,), jnp.int32)
+            for gi, (off_, n, d) in enumerate(cn_groups):
+                stride = cn_strides[gi]
+
+                def fold_chunk(planes, _chv, c, acc):
+                    parity = (planes[0] < 0.0).astype(jnp.int32)
+                    for j in range(1, d):
+                        parity = parity ^ (planes[j] < 0.0).astype(jnp.int32)
+                    valid = (
+                        jax.lax.broadcasted_iota(jnp.int32, (stride, Bt), 0)
+                        < n - c * stride
+                    )
+                    return None, acc + jnp.sum(
+                        jnp.where(valid, parity, 0), axis=0, dtype=jnp.int32
+                    )
+
+                unsat = pipelined_group(
+                    A, None, None, off_, n, d, stride, cn_nchunks[gi],
+                    fold_chunk, unsat,
+                )
+            return unsat
+
+        def body_once(_i):
+            cn_pass()
+            vn_pass()
+            return syn_pass()
+
+        unsat0 = jnp.ones((Bt,), jnp.int32)
+        if imax - 1 <= 0:
+            iters, unsat = jnp.int32(0), unsat0
+            # B never written: zero it so the decision sums read zeros, like
+            # the XLA path's vn_view0 (float_common.py).
+            zero = jnp.zeros((stage_rows, Bt), jnp.float32)
+            S_out[pl.ds(0, stage_rows)] = zero
+            n_fill = -(-(n_edges + pad_e) // stage_rows)
+
+            def fill(k, _):
+                m = pltpu.make_async_copy(
+                    S_out.at[pl.ds(0, stage_rows)],
+                    B.at[pl.ds(k * (n_edges + pad_e - stage_rows) // max(n_fill - 1, 1), stage_rows)],
+                    sem_sc.at[0],
+                )
+                m.start()
+                m.wait()
+                return 0
+
+            jax.lax.fori_loop(0, n_fill, fill, 0)
+        elif early_exit:
+
+            def cond(c):
+                i, unsat = c
+                return jnp.logical_and(
+                    i < imax - 1, jnp.sum((unsat > 0).astype(jnp.int32)) > 0
+                )
+
+            def step(c):
+                i, _ = c
+                return i + 1, body_once(i)
+
+            iters, unsat = jax.lax.while_loop(cond, step, (jnp.int32(0), unsat0))
+        else:
+            unsat = jax.lax.fori_loop(
+                0, imax - 1, lambda i, _: body_once(i), unsat0
+            )
+            iters = jnp.int32(imax - 1)
+
+        # --- Decision: channel + sum of ALL incoming messages, no clamp.
+        for gi, (off_, n, d) in enumerate(vn_groups):
+            stride = vn_strides[gi]
+            goff = vn_node_offsets[gi]
+
+            def dec_body(c, _):
+                for m in stage_dmas(B, off_, n, d, stride, c, 0, chv_off=goff):
+                    m.start()
+                for m in stage_dmas(B, off_, n, d, stride, c, 0, chv_off=goff):
+                    m.wait()
+                planes = read_planes(d, stride, 0)
+                # Posterior: ch + seq-sum of all messages (float_common.py
+                # bracketing), unclamped.
+                s = planes[0]
+                for p in planes[1:]:
+                    s = s + p
+                dec = CHV[pl.ds(0, stride)] + s
+                S_out[0 : dec.shape[0]] = dec
+                out_dma = pltpu.make_async_copy(
+                    S_out.at[pl.ds(0, stride)],
+                    out_ref.at[pl.ds(c * stride + goff, stride)],
+                    sem_sc.at[0],
+                )
+                out_dma.start()
+                out_dma.wait()
+                return 0
+
+            jax.lax.fori_loop(0, vn_nchunks[gi], dec_body, 0)
+        unsat_ref[0, :] = unsat
+        iters_ref[0, :] = jnp.full((Bt,), iters, jnp.int32)
+
+    smem_arrays = []
+    for _, seg, src, dst in cn_tables + vn_tables:
+        smem_arrays.extend(
+            [jnp.asarray(seg), jnp.asarray(src), jnp.asarray(dst)]
+        )
+
+    ANY = pl.ANY
+    VMEM = pltpu.MemorySpace.VMEM
+    SMEM = pltpu.MemorySpace.SMEM
+    n_inputs = len(smem_arrays) + 2
+
+    single = pl.pallas_call(
+        kernel,
+        grid=(),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_vars + pad_v, Bt), jnp.float32),  # out
+            jax.ShapeDtypeStruct((1, Bt), jnp.int32),  # unsat
+            jax.ShapeDtypeStruct((1, Bt), jnp.int32),  # iters
+            jax.ShapeDtypeStruct((n_edges + pad_e, Bt), jnp.float32),  # A
+            jax.ShapeDtypeStruct((n_edges + pad_e, Bt), jnp.float32),  # B
+        ),
+        in_specs=[pl.BlockSpec(memory_space=SMEM)] * len(smem_arrays)
+        + [pl.BlockSpec(memory_space=ANY)] * 2,
+        out_specs=(
+            pl.BlockSpec(memory_space=ANY),
+            pl.BlockSpec(memory_space=VMEM),
+            pl.BlockSpec(memory_space=VMEM),
+            pl.BlockSpec(memory_space=ANY),
+            pl.BlockSpec(memory_space=ANY),
+        ),
+        # The seeded view IS the initial A view: alias instead of copying.
+        input_output_aliases={len(smem_arrays): 3},
+        scratch_shapes=[
+            pltpu.VMEM((2 * stage_rows, Bt), jnp.float32),  # S_in
+            pltpu.VMEM((2 * stage_rows, Bt), jnp.float32),  # S_out
+            pltpu.VMEM((2 * chv_rows, Bt), jnp.float32),  # CHV
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+    def one_tile(ch_tile):
+        seeded = jnp.pad(
+            layout.seed_plan.apply(ch_tile), ((0, pad_e), (0, 0))
+        )
+        chg = jnp.pad(
+            layout.vn_gather_plan.apply(ch_tile), ((0, pad_v), (0, 0))
+        )
+        out_nodes, unsat, iters, _, _ = single(*smem_arrays, seeded, chg)
+        outputs = layout.vn_unperm_plan.apply(out_nodes[:n_vars])
+        return outputs, unsat, iters
+
+    def run(channel_llrs):
+        batch = channel_llrs.shape[-1]
+        pad = (-batch) % Bt
+        ch = channel_llrs.astype(jnp.float32)
+        if pad:
+            ch = jnp.pad(ch, ((0, 0), (0, pad)))
+        padded = ch.shape[-1]
+        n_tiles = padded // Bt
+        if n_tiles == 1:
+            out, unsat, iters = one_tile(ch)
+        else:
+            tiles = ch.reshape(n_vars, n_tiles, Bt).transpose(1, 0, 2)
+            out_t, unsat_t, iters_t = jax.lax.map(one_tile, tiles)
+            out = out_t.transpose(1, 0, 2).reshape(n_vars, padded)
+            unsat = unsat_t.transpose(1, 0, 2).reshape(1, padded)
+            iters = iters_t.transpose(1, 0, 2).reshape(1, padded)
+        out = out[:, :batch]
+        unsat = unsat[0, :batch]
+        iters = jnp.mean(iters[0, :batch].astype(jnp.float32))
+        return DecodeResult(outputs=out, iterations=iters, unsatisfied=unsat)
+
+    return jax.jit(run)

@@ -77,6 +77,15 @@ from .ib_lut_fused import (
 # HBM almost all of VMEM is available; bigger chunks mean fewer, longer DMAs.
 HBM_GROUP_VMEM_BUDGET = 48 * 1024 * 1024
 
+# Performance isolation knob (scripts/hbm_isolate.py): comma list in
+# $HBM_DISABLE of {'scatter', 'fold'} builds a semantically WRONG kernel
+# with that stage stubbed out, to attribute per-iteration time on hardware.
+import os as _os
+
+_DISABLE = frozenset(
+    filter(None, _os.environ.get("HBM_DISABLE", "").split(","))
+)
+
 
 def _group_chunk_counts(groups, w: int, bt: int, extra_op: int = 0):
     counts = []
@@ -146,6 +155,21 @@ def _piece_tables(scatter, strides):
             )
         )
     return tuple(out)
+
+
+def chunk_geom(groups, counts):
+    """Uniform chunk geometry: (stage_rows, strides, n_chunks_per_group).
+    Every chunk of a group covers ``stride`` rows; the true last-chunk
+    length only matters for syndrome masks and scatter tables."""
+    strides, n_chunk_list = [], []
+    best = 0
+    for g, c in zip(groups, counts):
+        bounds = _chunk_bounds(int(g.num_nodes), c)
+        stride = max(cl for _, cl in bounds)
+        strides.append(stride)
+        n_chunk_list.append(len(bounds))
+        best = max(best, stride * int(g.degree))
+    return best, tuple(strides), tuple(n_chunk_list)
 
 
 class HBMFusedIBDecoder:
@@ -218,24 +242,12 @@ def _build_hbm_kernel(
         off += n
     vn_node_offsets = tuple(vn_node_offsets)
 
-    # Uniform chunk geometry: every chunk of a group covers ``stride`` rows
-    # (the true last-chunk length only matters for the syndrome mask and the
-    # scatter tables, both of which are row-exact).
-    def chunk_geom(groups, counts):
-        strides, n_chunk_list = [], []
-        best = 0
-        for g, c in zip(groups, counts):
-            bounds = _chunk_bounds(int(g.num_nodes), c)
-            stride = max(cl for _, cl in bounds)
-            strides.append(stride)
-            n_chunk_list.append(len(bounds))
-            best = max(best, stride * int(g.degree))
-        return best, tuple(strides), tuple(n_chunk_list)
-
     cn_stage_rows, cn_strides, cn_nchunks = chunk_geom(layout.cn_groups, cn_chunks)
     vn_stage_rows, vn_strides, vn_nchunks = chunk_geom(layout.vn_groups, vn_chunks)
-    stage_rows = max(cn_stage_rows, vn_stage_rows)
-    chv_rows = max(vn_strides)
+    # Rounded to sublane multiples so ``buf * stage_rows`` offsets keep the
+    # pl.multiple_of alignment hint truthful for the double-buffered halves.
+    stage_rows = -(-max(cn_stage_rows, vn_stage_rows) // 8) * 8
+    chv_rows = -(-max(vn_strides) // 8) * 8
     # Stage reads run at full stride: the last chunk of the last plane may
     # read up to stride-1 rows past its group (and past the array end) —
     # inputs and views carry this much row padding.
@@ -270,76 +282,129 @@ def _build_hbm_kernel(
         unsat_ref, iters_ref = next(it), next(it)
         A, B = next(it), next(it)  # [n_edges+pad_e, Bt] ANY views
         S_in, S_out, CHV = next(it), next(it), next(it)
-        sem = next(it)
+        sem_st, sem_sc = next(it), next(it)
 
-        def dma(src, dst):
-            return pltpu.make_async_copy(src, dst, sem)
+        # --- Software-pipelined chunk machinery (double-buffered) --------
+        # Chunk c uses buffer half ``buf = c & 1`` of S_in / S_out / CHV.
+        # Per body(c): start stage(c+1) -> wait stage(c) -> wait
+        # scatter(c-2) (frees S_out[buf]) -> fold -> start scatter(c).
+        # Stage waves are tracked on sem_st[buf], scatter waves on
+        # sem_sc[buf]; same-slot waves never interleave (stage(c+2) starts
+        # only after stage(c) was waited in the previous body), so the
+        # byte-counting waits are exact.
 
-        def run_all(dmas):
-            # Strict all-start-then-all-wait on ONE semaphore: TPU DMA
-            # semaphores count BYTES, so individual waits may be satisfied by
-            # other copies in the group — but the group's waits collectively
-            # block until every byte of the group has landed, and no DMA
-            # outside the group is ever outstanding concurrently.
-            for m in dmas:
-                m.start()
-            for m in dmas:
-                m.wait()
+        def hinted(offset, stride):
+            return pl.multiple_of(offset, 8) if stride % 8 == 0 else offset
 
-        def stage_planes(view, off_, n, d, stride, c0, chv_off=None):
-            """DMA the chunk's d planes view->S_in (plus optionally the
-            chunk's channel values chg->CHV); returns the plane values."""
+        def stage_dmas(view, off_, n, d, stride, c, buf, chv_off=None):
+            c0 = c * stride
             dmas = [
-                dma(
+                pltpu.make_async_copy(
                     view.at[pl.ds(off_ + j * n + c0, stride)],
-                    S_in.at[pl.ds(j * stride, stride)],
+                    S_in.at[
+                        pl.ds(hinted(buf * stage_rows + j * stride, stride), stride)
+                    ],
+                    sem_st.at[buf],
                 )
                 for j in range(d)
             ]
             if chv_off is not None:
                 dmas.append(
-                    dma(
+                    pltpu.make_async_copy(
                         chg_ref.at[pl.ds(chv_off + c0, stride)],
-                        CHV.at[pl.ds(0, stride)],
+                        CHV.at[pl.ds(hinted(buf * chv_rows, stride), stride)],
+                        sem_st.at[buf],
                     )
                 )
-            run_all(dmas)
-            return [S_in[j * stride : (j + 1) * stride] for j in range(d)]
+            return dmas
 
-        def scatter_out(view, tabs, c, outp, stride):
-            """Write fold outputs to S_out, then DMA each table piece of
-            chunk c: bucket loops with static piece lengths, dynamic
-            src/dst offsets from SMEM."""
-            lens, seg_ref, src_ref, dst_ref = tabs
-            for j, p in enumerate(outp):
-                S_out[j * stride : j * stride + p.shape[0]] = p
+        def read_planes(d, stride, buf):
+            return [
+                S_in[
+                    pl.ds(hinted(buf * stage_rows + j * stride, stride), stride)
+                ]
+                for j in range(d)
+            ]
+
+        def scatter_piece(view, tabs, k, L, buf):
+            _, _, src_ref, dst_ref = tabs
+            return pltpu.make_async_copy(
+                S_out.at[pl.ds(src_ref[k] + buf * stage_rows, L)],
+                view.at[pl.ds(dst_ref[k], L)],
+                sem_sc.at[buf],
+            )
+
+        def scatter_walk(view, tabs, c, buf, action):
+            if "scatter" in _DISABLE:
+                return
+            lens, seg_ref, _, _ = tabs
             nb = len(lens)
             base = c * nb
-
-            def piece(k, L):
-                return dma(
-                    S_out.at[pl.ds(src_ref[k], L)],
-                    view.at[pl.ds(dst_ref[k], L)],
-                )
-
             for bi, L in enumerate(lens):
 
-                def start_body(k, _, L=L):
-                    piece(k, L).start()
+                def body(k, _, L=L):
+                    m = scatter_piece(view, tabs, k, L, buf)
+                    (m.start if action == "start" else m.wait)()
                     return 0
 
                 jax.lax.fori_loop(
-                    seg_ref[base + bi], seg_ref[base + bi + 1], start_body, 0
+                    seg_ref[base + bi], seg_ref[base + bi + 1], body, 0
                 )
-            for bi, L in enumerate(lens):
 
-                def wait_body(k, _, L=L):
-                    piece(k, L).wait()
-                    return 0
+        def pipelined_group(
+            view_in, view_out, tabs, off_, n, d, stride, n_chunks,
+            fold_chunk, carry0, chv_off=None,
+        ):
+            """Run fold_chunk(planes, chv, c, acc) over all chunks with
+            stage/scatter DMAs double-buffered around it."""
 
-                jax.lax.fori_loop(
-                    seg_ref[base + bi], seg_ref[base + bi + 1], wait_body, 0
+            def start_stage(c, buf):
+                for m in stage_dmas(view_in, off_, n, d, stride, c, buf, chv_off):
+                    m.start()
+
+            def wait_stage(c, buf):
+                for m in stage_dmas(view_in, off_, n, d, stride, c, buf, chv_off):
+                    m.wait()
+
+            start_stage(0, 0)
+
+            def body(c, acc):
+                buf = c & 1
+                if n_chunks > 1:
+
+                    @pl.when(c + 1 < n_chunks)
+                    def _():
+                        start_stage(c + 1, buf ^ 1)
+
+                wait_stage(c, buf)
+                if n_chunks > 2:
+
+                    @pl.when(c >= 2)
+                    def _():
+                        scatter_walk(view_out, tabs, c - 2, buf, "wait")
+
+                planes = read_planes(d, stride, buf)
+                chv = (
+                    CHV[pl.ds(hinted(buf * chv_rows, stride), stride)]
+                    if chv_off is not None
+                    else None
                 )
+                outp, acc = fold_chunk(planes, chv, c, acc)
+                for j, p in enumerate(outp):
+                    S_out[
+                        pl.ds(
+                            hinted(buf * stage_rows + j * stride, stride),
+                            stride,
+                        )
+                    ] = p
+                scatter_walk(view_out, tabs, c, buf, "start")
+                return acc
+
+            acc = jax.lax.fori_loop(0, n_chunks, body, carry0)
+            for c in (n_chunks - 2, n_chunks - 1):
+                if c >= 0:
+                    scatter_walk(view_out, tabs, c, c & 1, "wait")
+            return acc
 
         def cn_pass(src_view, luts_for, match_row_for, want_syndrome):
             unsat = jnp.zeros((Bt,), jnp.int32) if want_syndrome else None
@@ -350,9 +415,7 @@ def _build_hbm_kernel(
                 luts = luts_for(d)
                 row = match_row_for(d) if has_match else None
 
-                def chunk_body(c, acc):
-                    c0 = c * stride
-                    planes = stage_planes(src_view, off_, n, d, stride, c0)
+                def fold_chunk(planes, _chv, c, acc):
                     if want_syndrome:
                         parity = (planes[0] < thresh).astype(jnp.int32)
                         for j in range(1, d):
@@ -363,22 +426,26 @@ def _build_hbm_kernel(
                             jax.lax.broadcasted_iota(
                                 jnp.int32, (stride, Bt), 0
                             )
-                            < n - c0
+                            < n - c * stride
                         )
                         acc = acc + jnp.sum(
                             jnp.where(valid, parity, 0), axis=0,
                             dtype=jnp.int32,
                         )
+                    if "fold" in _DISABLE:
+                        return list(planes), acc
                     outp = cn_lut_leave_one_out(planes, luts, vmax=T)
                     if has_match:
                         outp = [
                             vector_lookup_words(row, p, fb) for p in outp
                         ]
-                    scatter_out(B, tabs, c, outp, stride)
-                    return acc
+                    return outp, acc
 
                 carry0 = unsat if want_syndrome else jnp.int32(0)
-                carry = jax.lax.fori_loop(0, n_chunks, chunk_body, carry0)
+                carry = pipelined_group(
+                    src_view, B, tabs, off_, n, d, stride, n_chunks,
+                    fold_chunk, carry0,
+                )
                 if want_syndrome:
                     unsat = carry
             return unsat
@@ -407,12 +474,9 @@ def _build_hbm_kernel(
                     match_vn_i[d - 1] if (has_match and d > 1) else None
                 )
 
-                def chunk_body(c, _):
-                    c0 = c * stride
-                    planes = stage_planes(
-                        B, off_, n, d, stride, c0, chv_off=goff
-                    )
-                    chv = CHV[0:stride]
+                def fold_chunk(planes, chv, c, acc):
+                    if "fold" in _DISABLE:
+                        return list(planes), acc
                     outp = vn_lut_leave_one_out(
                         chv, planes, first, rests, vmax=T
                     )
@@ -420,10 +484,12 @@ def _build_hbm_kernel(
                         outp = [
                             vector_lookup_words(row, p, fb) for p in outp
                         ]
-                    scatter_out(A, tabs, c, outp, stride)
-                    return 0
+                    return outp, acc
 
-                jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+                pipelined_group(
+                    B, A, tabs, off_, n, d, stride, n_chunks,
+                    fold_chunk, jnp.int32(0), chv_off=goff,
+                )
 
         def loop_body(i, want_syndrome: bool):
             # VN update with iteration-i tables, routed into the CN view A.
@@ -487,20 +553,25 @@ def _build_hbm_kernel(
             rests = [plut(dec_rest[l], T) for l in range(max(d - 1, 0))]
 
             def dec_body(c, _):
-                c0 = c * stride
-                planes = stage_planes(B, off_, n, d, stride, c0, chv_off=goff)
+                for m in stage_dmas(B, off_, n, d, stride, c, 0, chv_off=goff):
+                    m.start()
+                for m in stage_dmas(B, off_, n, d, stride, c, 0, chv_off=goff):
+                    m.wait()
+                planes = read_planes(d, stride, 0)
                 dec = vn_lut_full_fold(
-                    CHV[0:stride], planes, first, rests, vmax=T
+                    CHV[pl.ds(0, stride)], planes, first, rests, vmax=T
                 )
                 S_out[0 : dec.shape[0]] = dec
-                run_all(
-                    [
-                        dma(
-                            S_out.at[pl.ds(0, stride)],
-                            out_ref.at[pl.ds(goff + c0, stride)],
-                        )
-                    ]
+                # Full-stride write; a group's last chunk may spill into the
+                # next group's rows, overwritten by that (later) group —
+                # waited immediately so the overlapping writes are ordered.
+                out_dma = pltpu.make_async_copy(
+                    S_out.at[pl.ds(0, stride)],
+                    out_ref.at[pl.ds(c * stride + goff, stride)],
+                    sem_sc.at[0],
                 )
+                out_dma.start()
+                out_dma.wait()
                 return 0
 
             jax.lax.fori_loop(0, n_chunks, dec_body, 0)
@@ -549,10 +620,11 @@ def _build_hbm_kernel(
             pl.BlockSpec(memory_space=ANY),
         ),
         scratch_shapes=[
-            pltpu.VMEM((stage_rows, Bt), jnp.int32),  # S_in
-            pltpu.VMEM((stage_rows, Bt), jnp.int32),  # S_out
-            pltpu.VMEM((chv_rows, Bt), jnp.int32),  # CHV
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2 * stage_rows, Bt), jnp.int32),  # S_in (2 halves)
+            pltpu.VMEM((2 * stage_rows, Bt), jnp.int32),  # S_out (2 halves)
+            pltpu.VMEM((2 * chv_rows, Bt), jnp.int32),  # CHV (2 halves)
+            pltpu.SemaphoreType.DMA((2,)),  # stage waves, per buffer half
+            pltpu.SemaphoreType.DMA((2,)),  # scatter waves, per buffer half
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,

@@ -72,6 +72,16 @@ def cn_minsum_leave_one_out(msgs: jnp.ndarray) -> jnp.ndarray:
     return associative_leave_one_out(min_sum_op, msgs)
 
 
+def sum_planes(msgs: jnp.ndarray) -> jnp.ndarray:
+    """Sequential left-fold sum over axis 0 ((m0+m1)+m2)+... — an explicit
+    reduction order shared with the Pallas HBM float kernel so both paths
+    round identically (jnp.sum's grouping is compiler-chosen)."""
+    s = msgs[0]
+    for k in range(1, msgs.shape[0]):
+        s = s + msgs[k]
+    return s
+
+
 def vn_sum_leave_one_out(ch: jnp.ndarray, msgs: jnp.ndarray) -> jnp.ndarray:
     """Variable-node update: channel + sum of other messages, clamped to
     +/-LLR_MAX (kernels_min_and_BP.cl:76-123). msgs is [d, n, batch]
@@ -79,5 +89,5 @@ def vn_sum_leave_one_out(ch: jnp.ndarray, msgs: jnp.ndarray) -> jnp.ndarray:
     d = msgs.shape[0]
     if d == 1:
         return jnp.clip(ch[None, :, :], -LLR_MAX, LLR_MAX)
-    total = ch[None, :, :] + jnp.sum(msgs, axis=0, keepdims=True)
+    total = (ch + sum_planes(msgs))[None, :, :]
     return jnp.clip(total - msgs, -LLR_MAX, LLR_MAX)

@@ -110,7 +110,7 @@ class BERSimulator:
         early_exit: bool = True,
         encoder=None,
         seed: int = 0,
-        backend: str = "auto",  # 'auto' | 'xla' | 'fused' | 'hbm' (ib only)
+        backend: str = "auto",  # 'auto' | 'xla' | 'fused' (ib) | 'hbm'
         steps_per_dispatch: int = 1,
         modulation: str = "bpsk",  # 'bpsk' | 'qam' | 'mpsk'
         mod_order: int = 2,  # sqrt(M) for QAM, M for MPSK
@@ -252,6 +252,36 @@ class BERSimulator:
                     self._fused_decoder = HBMFusedIBDecoder(
                         layout, trellis.host, **kw
                     )
+        # Float decoders on HBM-scale codes: the XLA path round-trips every
+        # permutation/fold through HBM (~2.2x the traffic minimum); the
+        # staged Pallas kernel streams at it. 'auto' applies it only when
+        # the views cannot be VMEM-resident (DVB-S2 scale).
+        if decoder in ("minsum", "bp") and backend in ("auto", "hbm"):
+            from ..kernels.float_hbm import HBMFloatDecoder
+            from ..kernels.ib_lut_hbm import hbm_supported
+
+            big = 2 * layout.n_edges * 128 * 4 > 100 * 1024 * 1024
+            if backend == "hbm" and not hbm_supported(layout):
+                raise ValueError(
+                    "backend='hbm' requested but the layout routing does not "
+                    "run-decompose into unit-stride runs"
+                )
+            if backend == "hbm" or (
+                jax.default_backend() == "tpu" and big and hbm_supported(layout)
+            ):
+                print(
+                    "[engine] backend=auto selected the HBM-resident float "
+                    f"kernel ({decoder}, n_edges={layout.n_edges}); first "
+                    "compile takes minutes (one-time, cached). Use "
+                    "backend='xla' to skip.",
+                    flush=True,
+                )
+                self._fused_decoder = HBMFloatDecoder(
+                    layout,
+                    rule=decoder,
+                    max_iters=self.max_iters,
+                    early_exit=self.early_exit,
+                )
 
         self._step = self._build_step()
         self._quant_cache: dict[float, DeviceQuantizerTables] = {}
@@ -269,6 +299,8 @@ class BERSimulator:
                 early_exit=self.early_exit,
                 convergence_reduce=convergence_reduce,
             )
+        if self._fused_decoder is not None:
+            return self._fused_decoder(channel_input)
         fn = min_sum_decode if self.decoder == "minsum" else belief_propagation_decode
         return fn(
             self.layout,
