@@ -13,6 +13,14 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
+
+if "cpu" in os.environ.get("JAX_PLATFORMS", "").split(","):
+    # Respect JAX_PLATFORMS=cpu even when an accelerator plugin would
+    # otherwise become the default backend (see cli/simulate.py).
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 from ..construct import build_decoder_config
 from ..models import get_model

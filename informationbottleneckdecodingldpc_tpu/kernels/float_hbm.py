@@ -62,7 +62,10 @@ def _leave_one_out(op, planes):
     ops/float_ops.associative_leave_one_out: prefix[j-1] op suffix[j+1])."""
     d = len(planes)
     if d == 1:
-        return [jnp.zeros_like(planes[0])]
+        # Degree-1 check nodes are an invalid layout; fail at trace time
+        # exactly like the XLA path (float_ops.associative_leave_one_out)
+        # instead of silently emitting zeros (round-4 advisor).
+        raise ValueError("degree-1 check node in CN fold")
     pre = [planes[0]]
     for j in range(1, d - 1):
         pre.append(op(pre[-1], planes[j]))
@@ -335,7 +338,11 @@ def _build_float_hbm_kernel(
 
         unsat0 = jnp.ones((Bt,), jnp.int32)
         if imax - 1 <= 0:
-            iters, unsat = jnp.int32(0), unsat0
+            iters = jnp.int32(0)
+            # True syndrome of the seeded A view (the XLA path's
+            # unsat_final recomputes it even when the loop never ran,
+            # float_common.py; round-4 advisor).
+            unsat = syn_pass()
             # B never written: zero it so the decision sums read zeros, like
             # the XLA path's vn_view0 (float_common.py).
             zero = jnp.zeros((stage_rows, Bt), jnp.float32)

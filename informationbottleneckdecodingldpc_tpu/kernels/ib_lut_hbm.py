@@ -78,13 +78,39 @@ from .ib_lut_fused import (
 HBM_GROUP_VMEM_BUDGET = 48 * 1024 * 1024
 
 # Performance isolation knob (scripts/hbm_isolate.py): comma list in
-# $HBM_DISABLE of {'scatter', 'fold'} builds a semantically WRONG kernel
-# with that stage stubbed out, to attribute per-iteration time on hardware.
+# $HBM_DISABLE of {'scatter', 'fold', 'decision', 'i0'} builds a
+# semantically WRONG kernel with that stage stubbed out, to attribute
+# per-call time on hardware. Measure with SCALAR readback only
+# (scripts/hbm_scalar_timing.py): fetching the full [n_vars, batch] outputs
+# through the tunneled chip costs ~0.8 s of fluctuating transfer time that
+# round 4 misread as kernel cost ("21 ms/iter"); the true round-5 numbers
+# are ~28 ms fixed + ~3.4 ms/iter (DVB-S2, batch 128).
 import os as _os
+import sys as _sys
 
 _DISABLE = frozenset(
     filter(None, _os.environ.get("HBM_DISABLE", "").split(","))
 )
+
+
+def _check_disable_ack():
+    """A stray $HBM_DISABLE must never silently corrupt library decodes:
+    refuse to build the stubbed kernel unless the debug run also sets
+    $HBM_DISABLE_ACK=1, and even then warn loudly (round-4 advisor)."""
+    if not _DISABLE:
+        return
+    if _os.environ.get("HBM_DISABLE_ACK") != "1":
+        raise RuntimeError(
+            f"HBM_DISABLE={','.join(sorted(_DISABLE))} is set: this builds a "
+            "semantically WRONG decode kernel (performance isolation only). "
+            "Set HBM_DISABLE_ACK=1 to confirm, or unset HBM_DISABLE."
+        )
+    print(
+        f"WARNING: HBM_DISABLE={','.join(sorted(_DISABLE))} — building a "
+        "stubbed (WRONG) HBM decode kernel for performance isolation.",
+        file=_sys.stderr,
+        flush=True,
+    )
 
 
 def _group_chunk_counts(groups, w: int, bt: int, extra_op: int = 0):
@@ -195,6 +221,7 @@ class HBMFusedIBDecoder:
                 "layout CN<->VN routing does not run-decompose into "
                 "unit-stride runs; use the XLA path"
             )
+        _check_disable_ack()
         self.layout = layout
         self.packed = _PackedTables.from_tables(tables, use_matching=use_matching)
         self.imax = max_iters if max_iters is not None else tables.i_max
@@ -451,14 +478,15 @@ def _build_hbm_kernel(
             return unsat
 
         # --- Iteration-0 CN update from the seeded view.
-        i0_first = cn_i0_first_ref[:]
-        cn_pass(
-            seeded_ref,
-            lambda d: [plut(i0_first, pt.t_channel)]
-            + [plut(cn_i0_rest_ref[l], pt.t_channel) for l in range(d - 3)],
-            (lambda d: match_cn_ref[0, d - 1]) if has_match else None,
-            want_syndrome=False,
-        )
+        if "i0" not in _DISABLE:
+            i0_first = cn_i0_first_ref[:]
+            cn_pass(
+                seeded_ref,
+                lambda d: [plut(i0_first, pt.t_channel)]
+                + [plut(cn_i0_rest_ref[l], pt.t_channel) for l in range(d - 3)],
+                (lambda d: match_cn_ref[0, d - 1]) if has_match else None,
+                want_syndrome=False,
+            )
 
         def vn_pass(vn_first_i, vn_rest_i, match_vn_i):
             for gi, (off_, n, d) in enumerate(vn_groups):
@@ -558,9 +586,12 @@ def _build_hbm_kernel(
                 for m in stage_dmas(B, off_, n, d, stride, c, 0, chv_off=goff):
                     m.wait()
                 planes = read_planes(d, stride, 0)
-                dec = vn_lut_full_fold(
-                    CHV[pl.ds(0, stride)], planes, first, rests, vmax=T
-                )
+                if "decision" in _DISABLE:
+                    dec = planes[0]
+                else:
+                    dec = vn_lut_full_fold(
+                        CHV[pl.ds(0, stride)], planes, first, rests, vmax=T
+                    )
                 S_out[0 : dec.shape[0]] = dec
                 # Full-stride write; a group's last chunk may spill into the
                 # next group's rows, overwritten by that (later) group —

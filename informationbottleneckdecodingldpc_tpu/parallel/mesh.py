@@ -36,7 +36,20 @@ def initialize_multihost(
     Returns (process_index, process_count). Idempotent: a second call is a
     no-op (jax.distributed raises if already initialized).
     """
+    import os
+
     import jax.distributed
+
+    # Multi-process CPU (tests, local bring-up): the CPU client only joins
+    # the cluster with a cross-process collectives implementation; without
+    # it each process sees a 1-process backend. Gate on JAX_PLATFORMS (not
+    # jax.default_backend(), which would initialize backends too early).
+    # The config update mirrors tests/conftest.py: an externally installed
+    # accelerator plugin can ignore the env var alone and would otherwise
+    # become the default backend, leaving process_count() at 1.
+    if "cpu" in os.environ.get("JAX_PLATFORMS", "").split(","):
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
 
     try:
         jax.distributed.initialize(

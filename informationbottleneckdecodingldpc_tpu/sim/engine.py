@@ -90,7 +90,15 @@ class PointCheckpoint:
 
 
 class BERSimulator:
-    """Reusable, compiled BER simulator for one (code, decoder) pair."""
+    """Reusable, compiled BER simulator for one (code, decoder) pair.
+
+    Backend note: the HBM-resident Pallas kernels (``backend='hbm'``, or
+    ``'auto'`` on TPU for codes whose message views exceed VMEM) test
+    syndrome convergence per 128-codeword batch tile, not over the whole
+    (possibly sharded) batch, and ignore ``convergence_reduce`` — reported
+    mean iteration counts are therefore tile-granular and differ from the
+    XLA path's whole-batch lockstep numbers; BER is unaffected.
+    """
 
     def __init__(
         self,
@@ -252,28 +260,54 @@ class BERSimulator:
                     self._fused_decoder = HBMFusedIBDecoder(
                         layout, trellis.host, **kw
                     )
-        # Float decoders on HBM-scale codes: the XLA path round-trips every
-        # permutation/fold through HBM (~2.2x the traffic minimum); the
-        # staged Pallas kernel streams at it. 'auto' applies it only when
-        # the views cannot be VMEM-resident (DVB-S2 scale).
-        if decoder in ("minsum", "bp") and backend in ("auto", "hbm"):
+        # Float decoders: all-VMEM fused kernel for small codes (both views
+        # resident, like the IB fused path), DMA-staged HBM kernel for codes
+        # whose views exceed VMEM (DVB-S2 scale), XLA otherwise. 'auto'
+        # picks fused > hbm > xla on TPU.
+        if decoder in ("minsum", "bp") and backend in ("auto", "hbm", "fused"):
+            from ..kernels.float_fused import (
+                FusedFloatDecoder,
+                pick_float_batch_tile,
+            )
             from ..kernels.float_hbm import HBMFloatDecoder
             from ..kernels.ib_lut_hbm import hbm_supported
 
+            fbt = pick_float_batch_tile(
+                layout, min(128, self.batch_per_device)
+            )
+            if backend == "fused" and fbt is None:
+                raise ValueError(
+                    "backend='fused' requested but the layout does not fit "
+                    "the all-VMEM fused float kernel"
+                )
             big = 2 * layout.n_edges * 128 * 4 > 100 * 1024 * 1024
             if backend == "hbm" and not hbm_supported(layout):
                 raise ValueError(
                     "backend='hbm' requested but the layout routing does not "
                     "run-decompose into unit-stride runs"
                 )
-            if backend == "hbm" or (
+            if backend == "fused" or (
+                backend == "auto"
+                and jax.default_backend() == "tpu"
+                and fbt is not None
+            ):
+                self._fused_decoder = FusedFloatDecoder(
+                    layout,
+                    rule=decoder,
+                    max_iters=self.max_iters,
+                    early_exit=self.early_exit,
+                    batch_tile=fbt,
+                )
+            elif backend == "hbm" or (
                 jax.default_backend() == "tpu" and big and hbm_supported(layout)
             ):
                 print(
                     "[engine] backend=auto selected the HBM-resident float "
                     f"kernel ({decoder}, n_edges={layout.n_edges}); first "
-                    "compile takes minutes (one-time, cached). Use "
-                    "backend='xla' to skip.",
+                    "compile takes minutes (one-time, cached). Early exit "
+                    "is per-128-codeword batch tile (not whole-batch), so "
+                    "reported mean iterations differ from backend='xla'; "
+                    "BER is unaffected. Use backend='xla' to skip.",
                     flush=True,
                 )
                 self._fused_decoder = HBMFloatDecoder(

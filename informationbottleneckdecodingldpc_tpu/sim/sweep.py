@@ -51,6 +51,11 @@ class SweepController:
         if self.resume_state is not None:
             results = [PointResult(**p) for p in self.resume_state.get("points", [])]
             partial = self.resume_state.get("partial")
+            if self.verbose and results:
+                print(
+                    f"resuming sweep from broadcast state: {len(results)} "
+                    f"completed points up to {results[-1].ebn0_db:.2f} dB"
+                )
         elif self.results_path and os.path.exists(self.results_path):
             results = load_results(self.results_path)
             partial = load_partial(self.results_path)

