@@ -9,7 +9,15 @@ check/variable node rules:
 
 - iteration body = CN pass (stage A -> min-sum/boxplus leave-one-out ->
   route-on-write into B), VN pass (stage B + channel LLRs -> clamped sum
-  leave-one-out -> route into A), syndrome pass (stage A, sign parity);
+  leave-one-out -> route into A);
+- the syndrome is FOLDED into the CN pass's staged reads (it reads exactly
+  the planes the CN update stages), so one iteration costs the HBM-traffic
+  minimum — no separate syndrome staging pass. Because the CN pass stages
+  the *previous* body's A view, the early-exit test is DELAYED BY ONE BODY:
+  the loop exits one iteration after the XLA path's whole-batch test would
+  (round-5; the third full-view staging pass held this kernel at <=0.79 of
+  its own traffic bound). A final syndrome pass outside the loop computes
+  the exact ``unsatisfied`` of the final view;
 - the seeded CN view is ALIASED into the A view (``input_output_aliases``),
   so the loop body is uniform — no peeled first iteration;
 - decision pass: channel + sum of ALL incoming CN messages, unclamped,
@@ -18,10 +26,15 @@ check/variable node rules:
 Semantics mirror decode/min_sum.py / decode/bp.py (reference:
 Continous_LDPC_Decoding/min_sum_decoder_irreg.py:221-287,
 bp_decoder_irreg.py:221-286): seed CN inboxes with channel LLRs, loop at
-most imax-1 bodies with early exit on the syndrome, count iterations as
-bodies executed. With ``early_exit=False`` it is bit-exact vs the XLA path
-(same fold order, same clamp); with ``early_exit=True`` exit is at
-batch-tile granularity like the discrete HBM kernel.
+most imax-1 bodies, count iterations as bodies executed. With
+``early_exit=False`` it is bit-exact vs the XLA path (same fold order, same
+clamp; no in-loop syndrome at all — only the final pass). With
+``early_exit=True`` exit is at batch-tile granularity AND delayed one body:
+a tile that the XLA path stops after body k stops here after body k+1 (the
+extra body is a legitimate further decode iteration; BER is statistically
+identical, reported mean iterations run one higher). At operating points
+where frames do not converge within imax (FER ~ 1 benchmarks) the delayed
+test changes nothing and outputs stay bit-exact vs XLA.
 """
 
 from __future__ import annotations
@@ -38,8 +51,9 @@ from .ib_lut_fused import _chunk_bounds, _scatter_runs
 from .ib_lut_hbm import _piece_tables, chunk_geom, hbm_supported
 
 # Float fold working set per node: the [d, stride, Bt] stack plus prefix /
-# suffix arrays of the leave-one-out and a few temporaries.
-FLOAT_GROUP_VMEM_BUDGET = 48 * 1024 * 1024
+# suffix arrays of the leave-one-out and a few temporaries. 32 MB leaves
+# room for the VMEM-resident channel plane (see ib_lut_hbm).
+FLOAT_GROUP_VMEM_BUDGET = 32 * 1024 * 1024
 
 
 def _fold_bytes_per_node_float(degree: int, bt: int, extra_op: int = 0) -> int:
@@ -147,9 +161,10 @@ def _build_float_hbm_kernel(
     cn_stage_rows, cn_strides, cn_nchunks = chunk_geom(layout.cn_groups, cn_chunks)
     vn_stage_rows, vn_strides, vn_nchunks = chunk_geom(layout.vn_groups, vn_chunks)
     stage_rows = -(-max(cn_stage_rows, vn_stage_rows) // 8) * 8
-    chv_rows = -(-max(vn_strides) // 8) * 8
     pad_e = max(cn_strides + vn_strides)
     pad_v = max(vn_strides)
+    # VMEM-resident channel plane (was re-staged per chunk per iteration).
+    chv_all_rows = -(-(n_vars + pad_v) // 8) * 8
 
     cn_tables = _piece_tables(cn_scatter, cn_strides)
     vn_tables = _piece_tables(vn_scatter, vn_strides)
@@ -163,9 +178,19 @@ def _build_float_hbm_kernel(
         out_ref = next(it)  # [n_vars+pad_v, Bt] ANY f32: posterior LLRs
         unsat_ref, iters_ref = next(it), next(it)
         A, B = next(it), next(it)  # [n_edges+pad_e, Bt] ANY f32 views
-        S_in, S_out, CHV = next(it), next(it), next(it)
+        S_in, S_out, CHV_ALL = next(it), next(it), next(it)
         sem_st, sem_sc = next(it), next(it)
         del seeded_ref  # same buffer as A (input_output_aliases)
+
+        # Channel plane: copied into VMEM once; VN folds and the decision
+        # pass read it locally.
+        chv_fill = pltpu.make_async_copy(
+            chg_ref.at[pl.ds(0, n_vars + pad_v)],
+            CHV_ALL.at[pl.ds(0, n_vars + pad_v)],
+            sem_st.at[0],
+        )
+        chv_fill.start()
+        chv_fill.wait()
 
         def hinted(offset, stride):
             return pl.multiple_of(offset, 8) if stride % 8 == 0 else offset
@@ -182,14 +207,6 @@ def _build_float_hbm_kernel(
                 )
                 for j in range(d)
             ]
-            if chv_off is not None:
-                dmas.append(
-                    pltpu.make_async_copy(
-                        chg_ref.at[pl.ds(chv_off + c0, stride)],
-                        CHV.at[pl.ds(hinted(buf * chv_rows, stride), stride)],
-                        sem_st.at[buf],
-                    )
-                )
             return dmas
 
         def read_planes(d, stride, buf):
@@ -250,7 +267,7 @@ def _build_float_hbm_kernel(
 
                 planes = read_planes(d, stride, buf)
                 chv = (
-                    CHV[pl.ds(hinted(buf * chv_rows, stride), stride)]
+                    CHV_ALL[pl.ds(chv_off + c * stride, stride)]
                     if chv_off is not None
                     else None
                 )
@@ -273,17 +290,43 @@ def _build_float_hbm_kernel(
                         scatter_walk(view_out, tabs, c, c & 1, "wait")
             return acc
 
-        def cn_pass():
+        def cn_pass(want_syndrome: bool = False):
+            """CN update; optionally folds the sign-parity syndrome of the
+            STAGED (previous-body) A view into the same staged reads, so
+            early exit costs no extra staging pass (see module docstring:
+            the exit test is thereby delayed one body)."""
+            unsat = jnp.zeros((Bt,), jnp.int32) if want_syndrome else None
             for gi, (off_, n, d) in enumerate(cn_groups):
+                stride = cn_strides[gi]
 
                 def fold_chunk(planes, _chv, c, acc):
+                    if want_syndrome:
+                        parity = (planes[0] < 0.0).astype(jnp.int32)
+                        for j in range(1, d):
+                            parity = parity ^ (planes[j] < 0.0).astype(
+                                jnp.int32
+                            )
+                        valid = (
+                            jax.lax.broadcasted_iota(
+                                jnp.int32, (stride, Bt), 0
+                            )
+                            < n - c * stride
+                        )
+                        acc = acc + jnp.sum(
+                            jnp.where(valid, parity, 0), axis=0,
+                            dtype=jnp.int32,
+                        )
                     return _leave_one_out(cn_op, planes), acc
 
-                pipelined_group(
+                carry0 = unsat if want_syndrome else jnp.int32(0)
+                carry = pipelined_group(
                     A, B, (cn_tables[gi][0],) + cn_tab_refs[gi],
-                    off_, n, d, cn_strides[gi], cn_nchunks[gi],
-                    fold_chunk, jnp.int32(0),
+                    off_, n, d, stride, cn_nchunks[gi],
+                    fold_chunk, carry0,
                 )
+                if want_syndrome:
+                    unsat = carry
+            return unsat
 
         def vn_pass():
             for gi, (off_, n, d) in enumerate(vn_groups):
@@ -331,11 +374,6 @@ def _build_float_hbm_kernel(
                 )
             return unsat
 
-        def body_once(_i):
-            cn_pass()
-            vn_pass()
-            return syn_pass()
-
         unsat0 = jnp.ones((Bt,), jnp.int32)
         if imax - 1 <= 0:
             iters = jnp.int32(0)
@@ -361,7 +399,10 @@ def _build_float_hbm_kernel(
 
             jax.lax.fori_loop(0, n_fill, fill, 0)
         elif early_exit:
-
+            # Delayed exit: body i's CN pass computes the syndrome of the
+            # view body i-1 wrote (free — same staged reads); the loop exits
+            # one body after the XLA path's test would. Exact final
+            # ``unsatisfied`` comes from one closing syndrome pass.
             def cond(c):
                 i, unsat = c
                 return jnp.logical_and(
@@ -370,13 +411,22 @@ def _build_float_hbm_kernel(
 
             def step(c):
                 i, _ = c
-                return i + 1, body_once(i)
+                unsat = cn_pass(want_syndrome=True)
+                vn_pass()
+                return i + 1, unsat
 
-            iters, unsat = jax.lax.while_loop(cond, step, (jnp.int32(0), unsat0))
+            iters, _ = jax.lax.while_loop(cond, step, (jnp.int32(0), unsat0))
+            unsat = syn_pass()
         else:
-            unsat = jax.lax.fori_loop(
-                0, imax - 1, lambda i, _: body_once(i), unsat0
-            )
+            # Fixed iterations: no in-loop syndrome at all; one final pass.
+            # Bit-exact vs the XLA path (same bodies, same final syndrome).
+            def step_fixed(_i, acc):
+                cn_pass()
+                vn_pass()
+                return acc
+
+            jax.lax.fori_loop(0, imax - 1, step_fixed, jnp.int32(0))
+            unsat = syn_pass()
             iters = jnp.int32(imax - 1)
 
         # --- Decision: channel + sum of ALL incoming messages, no clamp.
@@ -395,7 +445,7 @@ def _build_float_hbm_kernel(
                 s = planes[0]
                 for p in planes[1:]:
                     s = s + p
-                dec = CHV[pl.ds(0, stride)] + s
+                dec = CHV_ALL[pl.ds(goff + c * stride, stride)] + s
                 S_out[0 : dec.shape[0]] = dec
                 out_dma = pltpu.make_async_copy(
                     S_out.at[pl.ds(0, stride)],
@@ -445,7 +495,7 @@ def _build_float_hbm_kernel(
         scratch_shapes=[
             pltpu.VMEM((2 * stage_rows, Bt), jnp.float32),  # S_in
             pltpu.VMEM((2 * stage_rows, Bt), jnp.float32),  # S_out
-            pltpu.VMEM((2 * chv_rows, Bt), jnp.float32),  # CHV
+            pltpu.VMEM((chv_all_rows, Bt), jnp.float32),  # CHV_ALL (resident)
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],

@@ -74,8 +74,11 @@ from .ib_lut_fused import (
 )
 
 # Per-(group, chunk) VMEM working-set budget for the fold. With the views in
-# HBM almost all of VMEM is available; bigger chunks mean fewer, longer DMAs.
-HBM_GROUP_VMEM_BUDGET = 48 * 1024 * 1024
+# HBM most of VMEM is available; bigger chunks mean fewer, longer DMAs.
+# 32 MB (down from round-4's 48) leaves room for the VMEM-resident channel
+# plane (~33 MB at DVB-S2 scale) under the 120 MB scoped limit; the replay
+# probe showed chunk-loop overhead is negligible at these chunk counts.
+HBM_GROUP_VMEM_BUDGET = 32 * 1024 * 1024
 
 # Performance isolation knob (scripts/hbm_isolate.py): comma list in
 # $HBM_DISABLE of {'scatter', 'fold', 'decision', 'i0'} builds a
@@ -274,12 +277,14 @@ def _build_hbm_kernel(
     # Rounded to sublane multiples so ``buf * stage_rows`` offsets keep the
     # pl.multiple_of alignment hint truthful for the double-buffered halves.
     stage_rows = -(-max(cn_stage_rows, vn_stage_rows) // 8) * 8
-    chv_rows = -(-max(vn_strides) // 8) * 8
     # Stage reads run at full stride: the last chunk of the last plane may
     # read up to stride-1 rows past its group (and past the array end) —
     # inputs and views carry this much row padding.
     pad_e = max(cn_strides + vn_strides)
     pad_v = max(vn_strides)
+    # VMEM-resident channel plane (round-4 re-staged it from HBM every
+    # iteration, ~33 MB/iter of traffic at DVB-S2 scale).
+    chv_all_rows = -(-(n_vars + pad_v) // 8) * 8
 
     cn_tables = _piece_tables(cn_scatter, cn_strides)
     vn_tables = _piece_tables(vn_scatter, vn_strides)
@@ -298,6 +303,8 @@ def _build_hbm_kernel(
         vn_tab_refs = [(next(it), next(it), next(it)) for _ in vn_groups]
         seeded_ref = next(it)  # [n_edges+pad_e, Bt] ANY: initial CN view
         chg_ref = next(it)  # [n_vars+pad_v, Bt] ANY: group-ordered channel
+        # (copied ONCE into the VMEM-resident CHV plane below; round-4
+        # re-staged it from HBM every iteration, ~33 MB/iter of traffic)
         cn_i0_first_ref = next(it)
         cn_i0_rest_ref = next(it) if has_cn_i0_rest else None
         cn_rest_ref = next(it)
@@ -308,11 +315,21 @@ def _build_hbm_kernel(
         out_ref = next(it)  # [n_vars+pad_v, Bt] ANY: group-ordered decisions
         unsat_ref, iters_ref = next(it), next(it)
         A, B = next(it), next(it)  # [n_edges+pad_e, Bt] ANY views
-        S_in, S_out, CHV = next(it), next(it), next(it)
+        S_in, S_out, CHV_ALL = next(it), next(it), next(it)
         sem_st, sem_sc = next(it), next(it)
 
+        # --- Channel plane: copy group-ordered channel values into VMEM
+        # once; every VN fold and the decision pass read it locally.
+        chv_fill = pltpu.make_async_copy(
+            chg_ref.at[pl.ds(0, n_vars + pad_v)],
+            CHV_ALL.at[pl.ds(0, n_vars + pad_v)],
+            sem_st.at[0],
+        )
+        chv_fill.start()
+        chv_fill.wait()
+
         # --- Software-pipelined chunk machinery (double-buffered) --------
-        # Chunk c uses buffer half ``buf = c & 1`` of S_in / S_out / CHV.
+        # Chunk c uses buffer half ``buf = c & 1`` of S_in / S_out.
         # Per body(c): start stage(c+1) -> wait stage(c) -> wait
         # scatter(c-2) (frees S_out[buf]) -> fold -> start scatter(c).
         # Stage waves are tracked on sem_st[buf], scatter waves on
@@ -335,14 +352,6 @@ def _build_hbm_kernel(
                 )
                 for j in range(d)
             ]
-            if chv_off is not None:
-                dmas.append(
-                    pltpu.make_async_copy(
-                        chg_ref.at[pl.ds(chv_off + c0, stride)],
-                        CHV.at[pl.ds(hinted(buf * chv_rows, stride), stride)],
-                        sem_st.at[buf],
-                    )
-                )
             return dmas
 
         def read_planes(d, stride, buf):
@@ -412,7 +421,7 @@ def _build_hbm_kernel(
 
                 planes = read_planes(d, stride, buf)
                 chv = (
-                    CHV[pl.ds(hinted(buf * chv_rows, stride), stride)]
+                    CHV_ALL[pl.ds(chv_off + c * stride, stride)]
                     if chv_off is not None
                     else None
                 )
@@ -590,7 +599,8 @@ def _build_hbm_kernel(
                     dec = planes[0]
                 else:
                     dec = vn_lut_full_fold(
-                        CHV[pl.ds(0, stride)], planes, first, rests, vmax=T
+                        CHV_ALL[pl.ds(goff + c * stride, stride)],
+                        planes, first, rests, vmax=T,
                     )
                 S_out[0 : dec.shape[0]] = dec
                 # Full-stride write; a group's last chunk may spill into the
@@ -653,7 +663,7 @@ def _build_hbm_kernel(
         scratch_shapes=[
             pltpu.VMEM((2 * stage_rows, Bt), jnp.int32),  # S_in (2 halves)
             pltpu.VMEM((2 * stage_rows, Bt), jnp.int32),  # S_out (2 halves)
-            pltpu.VMEM((2 * chv_rows, Bt), jnp.int32),  # CHV (2 halves)
+            pltpu.VMEM((chv_all_rows, Bt), jnp.int32),  # CHV_ALL (resident)
             pltpu.SemaphoreType.DMA((2,)),  # stage waves, per buffer half
             pltpu.SemaphoreType.DMA((2,)),  # scatter waves, per buffer half
         ],

@@ -305,9 +305,11 @@ class BERSimulator:
                     "[engine] backend=auto selected the HBM-resident float "
                     f"kernel ({decoder}, n_edges={layout.n_edges}); first "
                     "compile takes minutes (one-time, cached). Early exit "
-                    "is per-128-codeword batch tile (not whole-batch), so "
-                    "reported mean iterations differ from backend='xla'; "
-                    "BER is unaffected. Use backend='xla' to skip.",
+                    "is per-128-codeword batch tile (not whole-batch) and "
+                    "delayed one body (syndrome folded into the CN staging "
+                    "reads), so reported mean iterations differ from "
+                    "backend='xla'; BER is unaffected. Use backend='xla' "
+                    "to skip.",
                     flush=True,
                 )
                 self._fused_decoder = HBMFloatDecoder(

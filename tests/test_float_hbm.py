@@ -74,19 +74,28 @@ def test_float_hbm_bp_bit_exact_fixed_iters(ira_layout, rng):
 
 
 def test_float_hbm_minsum_early_exit_single_tile(ira_layout, rng):
-    # One tile == whole-batch lockstep: early exit matches the XLA path.
+    # Delayed-by-one early exit (the syndrome folds into the CN pass's
+    # staged reads): the kernel runs exactly ONE body more than the XLA
+    # whole-batch test, and its result equals the XLA fixed-iteration
+    # decode truncated at that body count (final syndrome exact).
     layout = ira_layout
     # High SNR (~0.6% raw sign-error rate): converges well before imax.
     ch = jnp.asarray(
         rng.normal(2.5, 1.0, (layout.n_vars, 8)), jnp.float32
     )
-    ref = min_sum_decode(layout, ch, max_iters=30, early_exit=True)
+    ref_ee = min_sum_decode(layout, ch, max_iters=30, early_exit=True)
     got = HBMFloatDecoder(
         layout, "minsum", max_iters=30, early_exit=True, batch_tile=8
     )(ch)
-    assert np.array_equal(np.asarray(ref.outputs), np.asarray(got.outputs))
-    assert int(ref.iterations) == int(got.iterations)
-    assert int(ref.iterations) < 29  # the early exit actually fired
+    k = int(got.iterations)
+    assert int(ref_ee.iterations) < 29  # the early exit actually fired
+    assert k == int(ref_ee.iterations) + 1
+    # XLA max_iters=m runs m-1 bodies: m = k+1 reproduces the kernel run.
+    ref_fix = min_sum_decode(layout, ch, max_iters=k + 1, early_exit=False)
+    assert np.array_equal(np.asarray(ref_fix.outputs), np.asarray(got.outputs))
+    assert np.array_equal(
+        np.asarray(ref_fix.unsatisfied), np.asarray(got.unsatisfied)
+    )
 
 
 def test_float_hbm_multi_tile_regular(rng):
