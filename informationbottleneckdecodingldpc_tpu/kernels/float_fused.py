@@ -36,7 +36,7 @@ from ..decode.common import DecodeResult
 from ..decode.graph_arrays import DecodeLayout
 from ..ops.float_ops import LLR_MAX
 from ..ops.float_ops import boxplus as _boxplus
-from ..ops.float_ops import min_sum_op as _min_sum_op
+from ..ops.float_ops import minsum_leave_one_out_planes
 from .float_hbm import _fold_bytes_per_node_float, _leave_one_out
 from .ib_lut_fused import (
     MAX_TOTAL_RUNS,
@@ -150,7 +150,13 @@ def _build_float_fused_kernel(
 ):
     Bt = batch_tile
     n_vars, n_edges = layout.n_vars, layout.n_edges
-    cn_op = _min_sum_op if rule == "minsum" else _boxplus
+    # min-sum: min1/min2 + sign-product leave-one-out — bitwise-equal to
+    # the pairwise fold at ~1/3 the VPU ops (ops/float_ops); BP keeps the
+    # pairwise boxplus prefix/suffix.
+    if rule == "minsum":
+        cn_fold = minsum_leave_one_out_planes
+    else:
+        cn_fold = lambda ps: _leave_one_out(_boxplus, ps)  # noqa: E731
 
     seed_runs = _runs(layout.seed_plan)
     gather_runs = _runs(layout.vn_gather_plan)
@@ -195,7 +201,7 @@ def _build_float_fused_kernel(
             for chunks, (off_, n, d) in zip(cn_scatter, cn_groups):
                 for c0, cl, runs in chunks:
                     planes = read_planes(A, off_, n, d, c0, cl)
-                    write_planes_routed(B, runs, _leave_one_out(cn_op, planes))
+                    write_planes_routed(B, runs, cn_fold(planes))
 
         def vn_pass():
             for chunks, goff, (off_, n, d) in zip(

@@ -46,7 +46,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..decode.common import DecodeResult
 from ..decode.graph_arrays import DecodeLayout
-from ..ops.float_ops import LLR_MAX, boxplus, min_sum_op
+from ..ops.float_ops import (
+    LLR_MAX,
+    boxplus,
+    minsum_leave_one_out_planes,
+)
 from .ib_lut_fused import _chunk_bounds, _scatter_runs
 from .ib_lut_hbm import _piece_tables, chunk_geom, hbm_supported
 
@@ -142,7 +146,13 @@ def _build_float_hbm_kernel(
 ):
     Bt = batch_tile
     n_vars, n_edges = layout.n_vars, layout.n_edges
-    cn_op = min_sum_op if rule == "minsum" else boxplus
+    # min-sum: min1/min2 + sign-product leave-one-out — bitwise-equal to
+    # the pairwise fold at ~1/3 the VPU ops (ops/float_ops); BP keeps the
+    # pairwise boxplus prefix/suffix.
+    if rule == "minsum":
+        cn_fold = minsum_leave_one_out_planes
+    else:
+        cn_fold = lambda ps: _leave_one_out(boxplus, ps)  # noqa: E731
 
     cn_chunks = _group_chunk_counts_float(layout.cn_groups, Bt)
     vn_chunks = _group_chunk_counts_float(layout.vn_groups, Bt, extra_op=1)
@@ -316,7 +326,7 @@ def _build_float_hbm_kernel(
                             jnp.where(valid, parity, 0), axis=0,
                             dtype=jnp.int32,
                         )
-                    return _leave_one_out(cn_op, planes), acc
+                    return cn_fold(planes), acc
 
                 carry0 = unsat if want_syndrome else jnp.int32(0)
                 carry = pipelined_group(

@@ -91,3 +91,47 @@ def vn_sum_leave_one_out(ch: jnp.ndarray, msgs: jnp.ndarray) -> jnp.ndarray:
         return jnp.clip(ch[None, :, :], -LLR_MAX, LLR_MAX)
     total = (ch + sum_planes(msgs))[None, :, :]
     return jnp.clip(total - msgs, -LLR_MAX, LLR_MAX)
+
+
+def minsum_leave_one_out_planes(planes: list) -> list:
+    """Min-sum leave-one-out over a plane LIST via min1/min2 + sign products.
+
+    Bitwise-identical (up to the sign of zero) to the pairwise
+    ``min_sum_op`` prefix/suffix fold: every output is (product of signs
+    excluding j) x (min magnitude excluding j), and both factors are exact
+    regardless of evaluation order — min-sum never creates new values.
+    O(~9d) cheap VPU ops per node instead of the pairwise fold's
+    3(d-2) applications of the 7-op ``min_sum_op`` (the fused float
+    kernel's dominant cost at d=7-8).
+    """
+    d = len(planes)
+    if d == 1:
+        raise ValueError("leave-one-out undefined for degree-1 check nodes")
+    if d == 2:
+        return [planes[1], planes[0]]
+    mags = [jnp.abs(p) for p in planes]
+    sgns = [jnp.sign(p) for p in planes]
+    # min1 = smallest magnitude, min2 = second smallest (== min1 on ties).
+    min1 = mags[0]
+    min2 = jnp.full_like(mags[0], jnp.inf)
+    for a in mags[1:]:
+        min2 = jnp.minimum(min2, jnp.maximum(min1, a))
+        min1 = jnp.minimum(min1, a)
+    # Leave-one-out sign products via prefix/suffix (zeros propagate).
+    pre = [sgns[0]]
+    for k in range(1, d - 1):
+        pre.append(pre[-1] * sgns[k])
+    suf = [sgns[-1]]
+    for k in range(d - 2, 0, -1):
+        suf.insert(0, sgns[k] * suf[0])
+    out = []
+    for j in range(d):
+        if j == 0:
+            s = suf[0]
+        elif j == d - 1:
+            s = pre[d - 2]
+        else:
+            s = pre[j - 1] * suf[j]
+        mag = jnp.where(mags[j] == min1, min2, min1)
+        out.append(s * mag)
+    return out

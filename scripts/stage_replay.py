@@ -16,9 +16,20 @@ semaphores) with the fold/scatter removed, and times one variant per run:
   REPLAY=nowrite    skip the S_out vector copies (pure stage DMAs)
   REPLAY=outviews   stage from a pallas OUTPUT (ANY) buffer aliased to the
                     input, like the real kernel's A/B views
+  REPLAY=depth4     same plane addresses, but (chunk, plane) units stream
+                    through a depth-4 slot rotation (the BW-probe pattern)
+                    instead of whole-chunk start/wait pairs — measures how
+                    much of the 717 GB/s the real address pattern can reach
 
 Prints ms per simulated iteration by differencing two in-kernel repeat
 counts (dispatch and readback cancel).
+
+CAUTION (round-5 postmortem): the original runs used r1=8 repeats (~20-50 ms
+per call), far below the tunnel's dispatch jitter — the "113 GB/s stage
+read" and the depth4 "109 GB/s" were noise. scripts/read_bw_probe2.py
+(adaptive trip counts, >=0.3 s per measurement) shows the kernel's exact
+nested stage pattern reads at ~755 GB/s; the engine-level numbers put the
+float HBM kernel at ~420 GB/s effective and the IB HBM kernel fold-bound.
 """
 
 import os
@@ -151,7 +162,49 @@ def build(variant: str, iters: int):
 
             return jax.lax.fori_loop(0, n_chunks, body, jnp.int32(0))
 
+        SLOT = 4096  # slot pitch for the depth4 variant
+
+        def stream_group_depth4(off_, n, d, stride, n_chunks):
+            """(chunk, plane) units through a 4-slot rotation: 1 wait + 1
+            start per unit, 4 transfers always in flight."""
+            U = n_chunks * d
+
+            def mk(u, s):
+                c = u // d
+                j = u - c * d
+                return pltpu.make_async_copy(
+                    A_ref.at[pl.ds(off_ + j * n + c * stride, stride)],
+                    S_in.at[pl.ds(s * SLOT, stride)],
+                    sem_st.at[s],
+                )
+
+            for k in range(min(4, U)):
+                mk(jnp.int32(k), k).start()
+
+            def body(u, acc):
+                mk(u, u & 3).wait()
+
+                @pl.when(u + 4 < U)
+                def _():
+                    mk(u + 4, (u + 4) & 3).start()
+
+                return acc
+
+            jax.lax.fori_loop(0, U, body, jnp.int32(0))
+
         def one_iteration(_i, acc):
+            if variant == "depth4":
+                for gi in vn_sel:
+                    off_, n, d = vn_groups[gi]
+                    stream_group_depth4(
+                        off_, n, d, vn_strides[gi], vn_nchunks[gi]
+                    )
+                for gi in cn_sel:
+                    off_, n, d = cn_groups[gi]
+                    stream_group_depth4(
+                        off_, n, d, cn_strides[gi], cn_nchunks[gi]
+                    )
+                return acc
             for gi in vn_sel:
                 off_, n, d = vn_groups[gi]
                 pipelined_group(
@@ -189,10 +242,10 @@ def build(variant: str, iters: int):
         out_specs=out_specs,
         input_output_aliases=alias,
         scratch_shapes=[
-            pltpu.VMEM((2 * stage_rows, Bt), jnp.int32),
+            pltpu.VMEM((max(2 * stage_rows, 4 * 4096), Bt), jnp.int32),
             pltpu.VMEM((2 * stage_rows, Bt), jnp.int32),
             pltpu.VMEM((2 * chv_rows, Bt), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,

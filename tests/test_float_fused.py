@@ -105,3 +105,33 @@ def test_engine_float_fused_backend_matches_xla(qc_layout):
     r_xla = mk("xla").run_point(2.0, min_errors=1, max_blocks=32)
     assert r_fused.errors == r_xla.errors
     assert r_fused.frame_errors == r_xla.frame_errors
+
+
+def test_minsum_min1min2_matches_pairwise_on_edge_cases(rng):
+    # Ties on the minimum magnitude and exact zeros: the min1/min2 +
+    # sign-product fold must match the pairwise min_sum_op prefix/suffix
+    # fold (values identical; zero sign may differ, compare with ==).
+    import itertools
+    from informationbottleneckdecodingldpc_tpu.ops.float_ops import (
+        associative_leave_one_out,
+        min_sum_op,
+        minsum_leave_one_out_planes,
+    )
+
+    cases = [
+        [1.5, -1.5, 2.0, 1.5, -3.0],     # triple tie at the min
+        [0.0, 2.0, -1.0, 4.0],           # one zero
+        [0.0, -0.0, 3.0],                # two zeros
+        [-2.0, -2.0, -2.0, -2.0],        # all equal, all negative
+        [5.0, -1.0],                     # degree 2
+    ]
+    for vals in cases:
+        planes = [jnp.full((4, 8), v, jnp.float32) for v in vals]
+        got = minsum_leave_one_out_planes(planes)
+        ref = associative_leave_one_out(
+            min_sum_op, jnp.stack(planes, axis=0)
+        )
+        for j in range(len(vals)):
+            assert np.all(np.asarray(got[j]) == np.asarray(ref[j])), (
+                vals, j, np.asarray(got[j])[0, 0], np.asarray(ref[j])[0, 0]
+            )
