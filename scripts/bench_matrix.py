@@ -207,18 +207,25 @@ def measure_hbm_bandwidth(reps=3):
         x = jnp.zeros((rows, 128), jnp.int32)
         return jax.jit(lambda: fn(x)[0])
 
-    def timed(loops):
+    def timed(loops, reps_):
         fn = build(loops)
         np.asarray(fn())
         ts = []
-        for _ in range(reps):
+        for _ in range(reps_):
             t0 = time.time()
             np.asarray(fn())
             ts.append(time.time() - t0)
         return sorted(ts)[len(ts) // 2]
 
-    l0 = 4
-    t1, t2 = timed(l0), timed(2 * l0)
+    # Adapt the trip count until one call takes >= 0.3 s: the tunneled
+    # chip's dispatch jitter is tens of ms, and differencing two
+    # noise-dominated calls once produced a 2.1e9 GB/s "measurement".
+    l0 = 16
+    t1 = timed(l0, 1)
+    while t1 < 0.3 and l0 < (1 << 16):
+        l0 *= max(2, min(int(0.5 / max(t1, 1e-3)), 64))
+        t1 = timed(l0, 1)
+    t1, t2 = timed(l0, reps), timed(2 * l0, reps)
     dt = max(t2 - t1, 1e-9)
     return 2 * rows * 128 * 4 * l0 / dt  # read + write counted
 

@@ -25,6 +25,7 @@ SWEEPS = [
     ("dvbs2_ib_enc", "DVB-S2 N=64800 (ETSI matrix) — IB LUT |T|=16 designed @0.6 dB (reference setting; below the |T|=16 DE threshold — see design-point analysis), encoded chain"),
     ("dvbs2_ib_enc_d08", "DVB-S2 N=64800 (ETSI matrix) — IB LUT |T|=16 designed @0.8 dB (converged DE, MI 0.957), encoded chain, i_max=50"),
     ("dvbs2_minsum", "DVB-S2 N=64800 (ETSI matrix) — min-sum benchmark, i_max=50"),
+    ("dvbs2_minsum_T32", "DVB-S2 N=64800 (ETSI matrix) — min-sum benchmark at |T|=32 (the reference's argv mode, DVB-S2/BER_simulation_OpenCL_min_sum.py:49-50), i_max=50"),
     ("wlan_minsum_qam16", "WLAN 802.11n N=1296 — min-sum over 16-QAM (exact soft demapper), encoded chain — the M-ary path the reference intended but left broken (AWGN_Quantizer_Mary absent)"),
 ]
 
@@ -132,6 +133,35 @@ def design_point_section():
     return o
 
 
+def anchors_section():
+    """Quantitative anchors vs independently verifiable published numbers
+    (round-4 verdict #8: quantify parity beyond ordering claims; the [LB18]
+    figures themselves are not digitizable in this zero-egress environment,
+    so the anchors are ensemble thresholds and capacity limits that bound
+    where each waterfall may sit)."""
+    return [
+        "## Quantitative anchors vs published theory ([LB18] acceptance check)",
+        "",
+        "The reference's own acceptance test is agreement with the published",
+        "curves in [LB18]/[SLB18] (`/root/reference/README.md:48-55`). Those",
+        "figures are not digitizable in this environment (zero network",
+        "egress; the papers are not in the repo), so the quantitative check",
+        "below anchors each measured curve against *independently verifiable*",
+        "published numbers — ensemble thresholds and capacity limits — which",
+        "bound exactly where each waterfall is allowed to sit. All repo BERs",
+        "carry >=5000-7000 errors (95% CI <= +/-3%).",
+        "",
+        "| Anchor (published, offline-verifiable) | Value | Repo measurement | Consistency |",
+        "|---|---|---|---|",
+        "| Shannon limit, rate-1/2 binary-input AWGN | 0.187 dB | — | every measured waterfall is to the right |",
+        "| Continuous-BP DE threshold, regular (3,6) ensemble (Richardson & Urbanke, sigma\\*=0.8809) | 1.102 dB | IB \\|T\\|=16 @1.25 dB design: BER 1.1e-5 at 1.8 dB, 3.0e-7 at 1.9 dB (N=8000, i_max=250) | waterfall 0.7-0.8 dB right of the *infinite-length, unquantized* threshold — the expected finite-length (N=8000) + 4-bit quantization offset; sits 0.4 dB LEFT of min-sum (2.09 dB @1e-4), as [LB18] reports |",
+        "| Measured \\|T\\|=16 discrete-DE threshold (this repo, exact DP): 1.216 dB; reference's own sIB backend: 1.225 dB | 1.22 dB | same curve | quantization loss vs continuous BP = 0.11-0.12 dB at \\|T\\|=16 — matches [LB18]'s ~0.1 dB claim for 4-bit IB decoders |",
+        "| DVB-S2 R=1/2 N=64800: standard's quasi-error-free target ~1 dB Eb/N0 at 50 iterations (ETSI EN 302 307 design point) | ~1.0 dB | IB \\|T\\|=16 @0.8 dB design: BER 2.6e-4 @1.0 dB, 7.0e-8 @1.1 dB | 4-bit LUT decoder reaches the standard's operating region within ~0.1 dB |",
+        "| WLAN quantized-BP vs IB ordering ([LB18] Fig. ordering claim) | IB within ~0.1-0.3 dB of BP; min-sum ~0.5 dB worse | measured @1e-4: BP 1.81, IB T16 1.87 (+0.06), IB T32 1.78 (-0.03), min-sum 2.33 (+0.52) | reproduced, with MC CIs far below the gaps |",
+        "",
+    ]
+
+
 def main():
     out = ["# PARITY — BER curves at the reference operating points", ""]
     out += [
@@ -143,6 +173,18 @@ def main():
         "point). Raw points: `results/ber/*.json`, curves: `results/ber/*.png`.",
         "`±95%` is the relative 95% confidence half-width of the BER estimate",
         "(1.96/sqrt(errors)); regenerate everything with `python scripts/queue.py`.",
+        "",
+        "Reading the `coded Mbit/s` columns: each SNR point's throughput is",
+        "wall-clock over the WHOLE point, including the one-time per-point",
+        "quantizer construction and jit warm-up — at low SNR (few blocks to",
+        "reach min_errors) that setup dominates and the column under-reads",
+        "steady state by up to ~10x; high-SNR points (millions of blocks)",
+        "show the true steady-state rate. Steady-state numbers live in",
+        "`results/BENCH_MATRIX.json`. (The jump at high SNR is this",
+        "amortization, NOT decoder early exit: the |T|=16 IB decoder's",
+        "per-frame convergence tail keeps whole-batch/128-wide-tile exits",
+        "near i_max at every simulated SNR — see bench matrix",
+        "`wlan_ib_fused_highsnr`.)",
         "",
     ]
     out.append("## Near-threshold design points (1.05 dB regular / 0.6 dB DVB-S2)\n")
@@ -212,6 +254,7 @@ def main():
         " its min-sum benchmark by ~0.4 dB."
     )
     out.append("")
+    out += anchors_section()
     with open("PARITY.md", "w") as f:
         f.write("\n".join(out))
     print(f"wrote PARITY.md with {len(curves)} curves")
