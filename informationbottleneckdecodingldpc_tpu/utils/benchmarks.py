@@ -27,8 +27,11 @@ HEADLINE = dict(
     decoder="ib",
     backend="fused",
     chain="allzero",
-    batch=2048,
-    steps_per_dispatch=4,
+    # batch 4096 x 8 scanned steps per dispatch: amortizes the tunneled
+    # chip's per-dispatch latency that held the round-1..4 headline at
+    # 77-78 Mbit/s (round-5: 2048x4 = 78.6, 4096x4 = 82.4, 4096x8 = 90.3).
+    batch=4096,
+    steps_per_dispatch=8,
     ebn0_db=0.8,
 )
 

@@ -319,7 +319,8 @@ def main():
     scenario("wlan_ib_xla", "wlan-1296", "ib",
              config="wlan_T16_0.8", backend="xla", batch=2048)
     scenario("wlan_ib_fused_encoded", "wlan-1296", "ib", chain="encoded",
-             config="wlan_T16_0.8", backend="fused", batch=2048)
+             config="wlan_T16_0.8", backend="fused",
+             batch=HEADLINE["batch"], steps=HEADLINE["steps_per_dispatch"])
     # High-SNR point: mean_iterations << imax, so the per-tile early exit's
     # throughput win over batch-lockstep is a recorded number (round-4
     # verdict weak #7), not an inference from PARITY columns. 2.4 dB (FER
