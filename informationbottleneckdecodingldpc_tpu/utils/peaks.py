@@ -265,6 +265,8 @@ def primitive_peak(kind, *params) -> float:
             _CACHE[key] = measure_extract_peak(*params)
         elif kind == "minsum_op":
             _CACHE[key] = measure_minsum_op_peak()
+        elif kind == "min_op":
+            _CACHE[key] = measure_min_op_peak()
         elif kind == "boxplus":
             _CACHE[key] = measure_boxplus_peak()
         elif kind == "float_mix":
@@ -272,3 +274,16 @@ def primitive_peak(kind, *params) -> float:
         else:
             raise ValueError(kind)
     return _CACHE[key]
+
+
+def measure_min_op_peak(reps: int = 3) -> float:
+    """Single jnp.minimum applications/second at full ILP — the VPU ALU
+    issue ceiling in the same methodology as the other float peaks (the
+    asymmetric x'=op(x,y); y'=op(y,x') chain defeats CSE). Used as the rate
+    ceiling for the min-sum irreducible-op-floor bound: the O(d) min1/min2
+    fold the kernels apply needs >= 4 single-cycle VPU ops per edge (abs,
+    one min-tracking step, the min1-vs-min2 output select, the sign apply),
+    so throughput <= alu_rate / (4 x edges) — a chained microkernel of the
+    full fold under-measures instead (4-way ILP, spilled plane tuples) and
+    round-5's first attempt produced a 2x-violated "bound"."""
+    return _measure_float_binop(jnp.minimum, reps)

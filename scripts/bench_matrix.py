@@ -13,10 +13,12 @@ be <= 1 by construction):
   per-primitive peaks, so the bound holds structurally — unlike the round-2
   jnp-op-count models, which mispredicted what the compiler fuses.
 - float (min-sum / BP) scenarios: min of (a) the check-node fold bound —
-  exact CN op applications per iteration against the measured peak rate of
-  that op (min_sum_op / boxplus microkernels; VN work counted free, which
-  only loosens the bound) — and (b) the HBM-traffic bound (read+write of
-  both [n_edges, batch] float32 views per iteration against measured copy
+  BP: exact pairwise boxplus applications against the boxplus microkernel
+  peak; min-sum: an irreducible-op floor (>= 4 single-cycle VPU ops per CN
+  edge for the O(d) min1/min2 fold the kernels apply) against the measured
+  single-op ALU issue ceiling (VN work counted free, which only loosens
+  the bound) — and (b) the HBM-traffic bound (read+write of both
+  [n_edges, batch] float32 views per iteration against measured staged-DMA
   bandwidth), applied only when the views cannot be VMEM-resident.
 
 The effective iteration count is the MEASURED mean (early exit included), so
@@ -328,16 +330,16 @@ def main():
     # tile still pinned most tiles at imax.
     scenario("wlan_ib_fused_highsnr", "wlan-1296", "ib",
              config="wlan_T16_0.8", backend="fused", batch=2048, ebn0=2.4)
-    scenario("wlan_minsum", "wlan-1296", "minsum", batch=2048, max_iters=50,
-             ebn0=2.0)
-    scenario("wlan_bp_quant", "wlan-1296", "bp", batch=2048, max_iters=50,
-             ebn0=2.0)
+    scenario("wlan_minsum", "wlan-1296", "minsum", batch=4096, steps=8,
+             max_iters=50, ebn0=2.0)
+    scenario("wlan_bp_quant", "wlan-1296", "bp", batch=4096, steps=8,
+             max_iters=50, ebn0=2.0)
     scenario("wlan_T32_ib_fused", "wlan-1296-T32", "ib",
-             config="wlan_T32_0.6", backend="fused", batch=1024)
+             config="wlan_T32_0.6", backend="fused", batch=2048, steps=8)
     scenario("regular8000_ib_fused", "regular-3-6-8000", "ib",
              config="regular_T16_1.05", backend="fused", batch=512, ebn0=1.05)
-    scenario("regular8000_minsum", "regular-3-6-8000", "minsum", batch=512,
-             max_iters=50, ebn0=2.0)
+    scenario("regular8000_minsum", "regular-3-6-8000", "minsum", batch=1024,
+             steps=4, max_iters=50, ebn0=2.0)
     scenario("dvbs2_ib_hbm_encoded", "dvbs2-64800", "ib", chain="encoded",
              config="dvbs2_T16_0.6", backend="hbm", batch=128,
              steps=1, ebn0=1.0)
@@ -394,15 +396,46 @@ def main():
                     "_".join(map(str, k)): int(n) for k, n in counts.items()
                 },
             }
-        else:
-            op = "boxplus" if decoder == "bp" else "minsum_op"
+        elif decoder == "bp":
             apps = float_cn_applications(layout)
-            sol = layout.n_vars * primitive_peak(op) / (apps * i_eff)
+            sol = layout.n_vars * primitive_peak("boxplus") / (apps * i_eff)
             entry = {
-                "bound": f"cn_{op}",
+                "bound": "cn_boxplus",
                 "cn_op_applications_per_iteration_per_codeword": apps,
             }
-            view_bytes = 2 * layout.n_edges * sc["batch"] * 4
+        else:
+            # min-sum kernels apply the O(d) min1/min2 + sign-product fold
+            # (ops/float_ops.minsum_leave_one_out_planes): the pairwise
+            # min_sum_op application count stopped bounding them when the
+            # kernels switched algorithms (round-5). Bound = irreducible op
+            # floor (>= 4 single-cycle VPU ops per CN edge: abs, a
+            # min-tracking step, the min1/min2 output select, the sign
+            # apply) against a GENEROUS ALU ops/s ceiling: 7x the measured
+            # pairwise min_sum_op application rate (7 = the ops in that
+            # expression as written; if XLA emits fewer, the ceiling only
+            # rises, which loosens the bound — the safe direction. A
+            # dependent single-op chain under-measures the ceiling: it is
+            # latency-bound at ~1/3 the rate the compound expression
+            # sustains, and produced a 2x-violated "bound").
+            edges = sum(
+                int(g.num_nodes) * int(g.degree)
+                for g in layout.cn_groups
+                if int(g.degree) >= 2
+            )
+            alu_ops = 7.0 * primitive_peak("minsum_op")
+            sol = layout.n_vars * alu_ops / (4 * edges * i_eff)
+            entry = {
+                "bound": "cn_minsum_alu_floor",
+                "cn_edges_per_iteration_per_codeword": edges,
+                "min_vpu_ops_per_edge": 4,
+            }
+            # Per-TILE views (the float kernels tile the batch at 128
+            # lanes): the traffic bound only binds when even one tile's
+            # views exceed VMEM and the decoder must stream from HBM — the
+            # engine's own fused/hbm auto-selection condition. (A full-batch
+            # product here wrongly re-imposed the traffic bound on the
+            # all-VMEM fused kernel once batch reached 4096.)
+            view_bytes = 2 * layout.n_edges * 128 * 4
             if view_bytes > 100 * 1024 * 1024:  # views can't stay in VMEM
                 traffic_sol = bw * layout.n_vars / (16 * layout.n_edges * i_eff)
                 if traffic_sol < sol:
